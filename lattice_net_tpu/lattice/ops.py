@@ -1,0 +1,271 @@
+"""Differentiable lattice operators (splat / distribute / conv / slice / gather).
+
+Each op here replaces one reference CUDA kernel family with shape-static JAX
+array programs.  Backward passes come from JAX AD: the adjoint of a gather is
+a scatter-add, which is exactly the hand-written ``row2im`` / ``*_backwards``
+kernels of the reference (``LatticeGPU.cuh:2067-2305, 3540-3817``) — so no
+manual adjoints are needed for correctness; Pallas custom-vjp kernels can be
+swapped in later purely for speed.
+
+Index conventions (see lattice.structure): invalid = capacity; all gathers
+mask, all scatters use mode='drop'.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "splat",
+    "distribute",
+    "conv_im2row",
+    "slice_lattice",
+    "gather_lattice",
+    "slice_classify",
+    "segment_sum",
+    "segment_mean",
+    "segment_max_with_src",
+]
+
+
+# ---------------------------------------------------------------------------
+# segment helpers (torch_scatter equivalents, fixed-size output)
+# ---------------------------------------------------------------------------
+
+
+def segment_sum(values: jnp.ndarray, idx: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Scatter-add rows of ``values`` (M, C) into (num_segments, C); idx >= num_segments drops."""
+    out = jnp.zeros((num_segments,) + values.shape[1:], dtype=values.dtype)
+    return out.at[idx].add(values, mode="drop")
+
+
+def segment_mean(values: jnp.ndarray, idx: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    total = segment_sum(values, idx, num_segments)
+    ones = jnp.ones(values.shape[:1], dtype=values.dtype)
+    count = segment_sum(ones[:, None], idx, num_segments)
+    return total / jnp.maximum(count, 1.0)
+
+
+def segment_max_with_src(values: jnp.ndarray, idx: jnp.ndarray, num_segments: int):
+    """Per-segment max of (M, C) values plus a per-(segment, channel) source row id.
+
+    The reference uses ``torch_scatter.scatter_max`` and its argmax output to
+    fetch the barycentric weight of the winning point per channel
+    (``lattice_modules.py:688-712``).  We reproduce it with a scatter-max
+    followed by a winner-matching scatter (ties resolved by max source id,
+    which is as arbitrary as the reference's atomic race).
+
+    Returns:
+      maxed: (num_segments, C); segments with no entries are 0.
+      argsrc: (num_segments, C) int32 row index into values; no-entry -> M.
+    """
+    m = values.shape[0]
+    neg_inf = jnp.finfo(values.dtype).min
+    init = jnp.full((num_segments,) + values.shape[1:], neg_inf, dtype=values.dtype)
+    maxed = init.at[idx].max(values, mode="drop")
+    hit = maxed > neg_inf
+
+    row_ids = jnp.arange(m, dtype=jnp.int32)[:, None]
+    gathered = jnp.take(maxed, jnp.minimum(idx, num_segments - 1), axis=0)
+    is_winner = (values == gathered) & (idx < num_segments)[:, None]
+    arg_init = jnp.full((num_segments,) + values.shape[1:], -1, dtype=jnp.int32)
+    argsrc = arg_init.at[idx].max(jnp.where(is_winner, row_ids, -1), mode="drop")
+    argsrc = jnp.where(argsrc >= 0, argsrc, m).astype(jnp.int32)
+
+    return jnp.where(hit, maxed, 0.0), argsrc
+
+
+# ---------------------------------------------------------------------------
+# core lattice ops
+# ---------------------------------------------------------------------------
+
+
+def splat(
+    values: jnp.ndarray,
+    splat_idx: jnp.ndarray,
+    splat_weights: jnp.ndarray,
+    capacity: int,
+) -> jnp.ndarray:
+    """Barycentric scatter of point values onto lattice vertices.
+
+    Replaces ``splatCacheNaive`` (``LatticeGPU.cuh:926-973``, atomicAdd per
+    edge) with one deterministic segment-sum.
+
+    Args:
+      values: (N, C) per-point features.
+      splat_idx: (N, d+1) int32 vertex ids (invalid = capacity).
+      splat_weights: (N, d+1) barycentric weights.
+    Returns:
+      (capacity, C) vertex values.
+    """
+    n, d1 = splat_idx.shape
+    weighted = values[:, None, :] * splat_weights[..., None]  # (N, d+1, C)
+    return segment_sum(
+        weighted.reshape(n * d1, -1), splat_idx.reshape(n * d1), capacity
+    )
+
+
+def distribute(
+    positions: jnp.ndarray,
+    values: jnp.ndarray,
+    splat_idx: jnp.ndarray,
+    splat_weights: jnp.ndarray,
+    capacity: int,
+    point_mask: jnp.ndarray | None = None,
+    subtract_local_mean: bool = True,
+):
+    """Per-(point, vertex) feature rows: [xyz - vertex-mean xyz, values, weight].
+
+    Fuses the reference ``distribute`` kernel (``LatticeGPU.cuh:537-650``)
+    with the python-side local-mean subtraction of ``DistributeLatticeModule``
+    (``lattice_modules.py:63-96``, scatter_mean over xyz).  Invalid edges get
+    all-zero rows (the reference masks them too; it additionally sacrifices
+    vertex row 0 as a trash row — we keep all vertices and mask by index
+    validity instead).
+
+    Returns:
+      rows: (N*(d+1), d + C + 1) distributed tensor.
+      edge_idx: (N*(d+1),) int32 vertex id per row (invalid = capacity).
+    """
+    n, d = positions.shape
+    d1 = splat_idx.shape[1]
+    edge_idx = splat_idx.reshape(n * d1)
+    if point_mask is not None:
+        edge_idx = jnp.where(jnp.repeat(point_mask, d1), edge_idx, capacity)
+
+    pos_rows = jnp.repeat(positions, d1, axis=0)  # (N*(d+1), d)
+    if subtract_local_mean:
+        mean_pos = segment_mean(pos_rows, edge_idx, capacity)
+        mean_rows = jnp.take(mean_pos, jnp.minimum(edge_idx, capacity - 1), axis=0)
+        pos_rows = pos_rows - mean_rows
+
+    val_rows = jnp.repeat(values, d1, axis=0)
+    w_rows = splat_weights.reshape(n * d1, 1)
+    rows = jnp.concatenate([pos_rows, val_rows, w_rows], axis=-1)
+    valid = (edge_idx < capacity)[:, None]
+    return jnp.where(valid, rows, 0.0), edge_idx
+
+
+def gather_neighbor_values(
+    values: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    include_center_self: bool,
+) -> jnp.ndarray:
+    """(capacity_query, extent, C) patch tensor for 1-hop convolution.
+
+    ``values`` lives on the *neighbour* structure's table; ``neighbors`` is a
+    (capacity_query, K) index table (K = 2(d+1) for same-level, where the
+    centre is the row itself; K = 2(d+1)+1 for cross-level tables that carry
+    their own centre).  Missing neighbours contribute zeros, matching the
+    zero-initialised im2row rows of the reference.
+    """
+    cap_nbr = values.shape[0]
+    safe = jnp.minimum(neighbors, cap_nbr - 1)
+    patch = jnp.take(values, safe, axis=0)  # (Cq, K, C)
+    patch = jnp.where((neighbors < cap_nbr)[..., None], patch, 0.0)
+    if include_center_self:
+        center = values[: neighbors.shape[0]][:, None, :]
+        patch = jnp.concatenate([patch, center], axis=1)
+    return patch
+
+
+def conv_im2row(
+    values: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    weight: jnp.ndarray,
+    same_level: bool,
+) -> jnp.ndarray:
+    """1-hop lattice convolution: gather patch rows, one GEMM on the MXU.
+
+    Equivalent of ``Lattice::convolve_im2row_standalone``
+    (``src/Lattice.cu:424-474``): im2row + ``rowified.mm(filter_bank)``.
+    ``weight`` has shape (extent * C_in, C_out) with the row layout
+    [axis0+, axis0-, axis1+, axis1-, ..., centre] — identical to the
+    reference's filter bank, so weights are interchangeable.
+
+    For same-level convs (``same_level=True``) the centre value is the row
+    itself; cross-level tables (coarsen/finefy) carry the centre index as
+    their last column.
+    """
+    patch = gather_neighbor_values(values, neighbors, include_center_self=same_level)
+    cq, extent, c_in = patch.shape
+    assert weight.shape[0] == extent * c_in, (
+        f"filter bank rows {weight.shape[0]} != extent*C_in {extent * c_in}"
+    )
+    return jnp.dot(
+        patch.reshape(cq, extent * c_in), weight, preferred_element_type=jnp.float32
+    )
+
+
+def slice_lattice(
+    values: jnp.ndarray,
+    splat_idx: jnp.ndarray,
+    splat_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Barycentric interpolation of vertex values back to points.
+
+    ``slice_with_precomputation`` (``LatticeGPU.cuh:2552-2595``): out_p =
+    sum_r w_pr * values[idx_pr], with missing vertices contributing zero.
+    """
+    capacity = values.shape[0]
+    safe = jnp.minimum(splat_idx, capacity - 1)
+    v = jnp.take(values, safe, axis=0)  # (N, d+1, C)
+    w = jnp.where(splat_idx < capacity, splat_weights, 0.0)
+    return jnp.sum(v * w[..., None], axis=1)
+
+
+def gather_lattice(
+    values: jnp.ndarray,
+    splat_idx: jnp.ndarray,
+    splat_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-point concatenation of each simplex vertex's (value*w, w).
+
+    ``gather_with_precomputation`` (``LatticeGPU.cuh:2875-2929``): row layout
+    per point is (d+1) blocks of [C values * weight, weight].
+
+    Returns: (N, (d+1) * (C+1)).
+    """
+    capacity, c = values.shape
+    n, d1 = splat_idx.shape
+    safe = jnp.minimum(splat_idx, capacity - 1)
+    v = jnp.take(values, safe, axis=0)  # (N, d+1, C)
+    w = jnp.where(splat_idx < capacity, splat_weights, 0.0)  # (N, d+1)
+    blocks = jnp.concatenate([v * w[..., None], w[..., None]], axis=-1)
+    return blocks.reshape(n, d1 * (c + 1))
+
+
+def slice_classify(
+    values: jnp.ndarray,
+    splat_idx: jnp.ndarray,
+    splat_weights: jnp.ndarray,
+    delta_weights: jnp.ndarray,
+    class_weight: jnp.ndarray,
+    class_bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fused deformable slice + linear classifier.
+
+    ``slice_classify_with_precomputation`` (``LatticeGPU.cuh:3387-3464``):
+    logits_p = W @ (sum_r values[idx_pr] * (w_pr + dw_pr)) + b.  The reference
+    adds delta weights even for missing vertices only when idx >= 0; masked
+    identically here.  XLA fuses the gather, the weighted reduce and the
+    (N, C) x (C, nr_classes) GEMM; AD provides the four-way backward the
+    reference hand-writes (``LatticeGPU.cuh:3628-3756``).
+
+    Args:
+      values: (capacity, C) vertex features.
+      delta_weights: (N, d+1) learned barycentric offsets.
+      class_weight: (nr_classes, C) — torch Linear layout.
+      class_bias: (nr_classes,).
+    Returns: (N, nr_classes) logits.
+    """
+    capacity = values.shape[0]
+    safe = jnp.minimum(splat_idx, capacity - 1)
+    v = jnp.take(values, safe, axis=0)  # (N, d+1, C)
+    valid = splat_idx < capacity
+    w = jnp.where(valid, splat_weights + delta_weights, 0.0)
+    sliced = jnp.sum(v * w[..., None], axis=1)  # (N, C)
+    return (
+        jnp.dot(sliced, class_weight.T, preferred_element_type=jnp.float32) + class_bias
+    )

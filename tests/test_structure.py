@@ -1,0 +1,167 @@
+"""Structure-builder invariants: dedup, lookup, neighbours, hierarchy, overflow."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lattice_net_tpu.lattice import permutohedral as pm
+from lattice_net_tpu.lattice import structure as st
+
+
+def _cloud(rng, n=200, d=3, scale=2.0):
+    return rng.normal(size=(n, d)).astype(np.float32) * scale
+
+
+def test_build_structure_dedup(rng):
+    pts = _cloud(rng)
+    s, vid, w = st.build_structure(jnp.asarray(pts), 0.5, capacity=4096)
+    nr = int(s.nr_verts)
+    assert 0 < nr < 4096
+    assert int(s.nr_overflow) == 0
+
+    # keys table rows [0, nr) hold strictly (lexicographically) sorted unique keys
+    keys_np = np.asarray(s.keys)
+    rows = [tuple(k) for k in keys_np[:nr]]
+    assert rows == sorted(set(rows))
+    assert (keys_np[nr:] == st.SENTINEL).all()
+
+    # vid agrees with direct key lookup, and matches the ground-truth dedup
+    keys, bary = pm.splat_coords(jnp.asarray(pts) / 0.5)
+    looked = np.asarray(s.lookup(keys))
+    np.testing.assert_array_equal(looked, np.asarray(vid))
+    uniq = {tuple(k) for k in np.asarray(keys).reshape(-1, 3)}
+    assert len(uniq) == nr
+    np.testing.assert_allclose(np.asarray(w), np.asarray(bary))
+
+
+def test_point_mask_excludes_points(rng):
+    pts = _cloud(rng, n=100)
+    mask = np.zeros(100, dtype=bool)
+    mask[:50] = True
+    s_m, vid_m, _ = st.build_structure(jnp.asarray(pts), 0.5, 2048, point_mask=jnp.asarray(mask))
+    s_h, _, _ = st.build_structure(jnp.asarray(pts[:50]), 0.5, 2048)
+    assert int(s_m.nr_verts) == int(s_h.nr_verts)
+    nr = int(s_m.nr_verts)
+    np.testing.assert_array_equal(np.asarray(s_m.keys)[:nr], np.asarray(s_h.keys)[:nr])
+    # masked points map every edge to the invalid index
+    assert (np.asarray(vid_m)[50:] == s_m.capacity).all()
+    assert (np.asarray(vid_m)[:50] < nr).all()
+
+
+def test_overflow_drops_tail(rng):
+    pts = _cloud(rng, n=300)
+    cap = 16
+    s, vid, _ = st.build_structure(jnp.asarray(pts), 0.3, cap)
+    assert int(s.nr_verts) == cap
+    assert int(s.nr_overflow) > 0
+    vid = np.asarray(vid)
+    assert ((vid < cap) | (vid == cap)).all()
+    # stored table is still consistent (sorted, unique)
+    rows = [tuple(k) for k in np.asarray(s.keys)[:cap]]
+    assert rows == sorted(set(rows))
+
+
+def test_neighbors_same_level_symmetry(rng):
+    pts = _cloud(rng)
+    s, _, _ = st.build_structure(jnp.asarray(pts), 0.5, 4096)
+    nbr = np.asarray(st.build_neighbors_same_level(s))
+    nr = int(s.nr_verts)
+    cap = s.capacity
+    d1 = s.pos_dim + 1
+    assert nbr.shape == (cap, 2 * d1)
+    assert (nbr[nr:] == cap).all()
+    # symmetry: if v's +axis-a neighbour is u, then u's -axis-a neighbour is v
+    some_found = 0
+    for v in range(nr):
+        for a in range(d1):
+            u = nbr[v, 2 * a]
+            if u < cap:
+                some_found += 1
+                assert nbr[u, 2 * a + 1] == v
+    assert some_found > 0
+
+
+def test_neighbor_keys_correct(rng):
+    pts = _cloud(rng, n=150)
+    s, _, _ = st.build_structure(jnp.asarray(pts), 0.5, 4096)
+    nbr = np.asarray(st.build_neighbors_same_level(s))
+    keys = np.asarray(s.keys)
+    nr = int(s.nr_verts)
+    d = s.pos_dim
+    moves = np.asarray(st._axis_moves_np(d))
+    key_set = {tuple(k) for k in keys[:nr]}
+    for v in range(min(nr, 50)):
+        for a in range(d + 1):
+            expect_p = tuple(keys[v] + moves[a])
+            got = nbr[v, 2 * a]
+            if expect_p in key_set:
+                assert tuple(keys[got]) == expect_p
+            else:
+                assert got == s.capacity
+
+
+def test_hierarchy_shapes_and_coarse_counts(rng):
+    pts = _cloud(rng, n=400)
+    caps = (4096, 2048, 1024)
+    h = st.build_hierarchy(jnp.asarray(pts), 0.4, nr_levels=2, capacities=caps)
+    assert len(h.structures) == 3
+    counts = [int(s.nr_verts) for s in h.structures]
+    # coarser levels have (weakly) fewer vertices
+    assert counts[0] >= counts[1] >= counts[2] > 0
+    assert h.splat_idx.shape == (400, 4)
+    for i, nbr in enumerate(h.neighbors_coarsen):
+        assert nbr.shape == (caps[i + 1], 2 * 4 + 1)
+    for i, nbr in enumerate(h.neighbors_finefy):
+        assert nbr.shape == (caps[i], 2 * 4 + 1)
+
+
+def test_cross_level_tables_consistent(rng):
+    pts = _cloud(rng, n=300)
+    h = st.build_hierarchy(jnp.asarray(pts), 0.5, nr_levels=1, capacities=(4096, 2048))
+    fine, coarse = h.structures
+    down = np.asarray(h.neighbors_coarsen[0])  # coarse queries into fine
+    up = np.asarray(h.neighbors_finefy[0])  # fine queries into coarse
+    fine_keys = np.asarray(fine.keys)
+    coarse_keys = np.asarray(coarse.keys)
+    nrf, nrc = int(fine.nr_verts), int(coarse.nr_verts)
+
+    # coarsen centre: fine key must equal 2 * coarse key
+    hits = 0
+    for v in range(nrc):
+        c = down[v, -1]
+        if c < fine.capacity:
+            hits += 1
+            np.testing.assert_array_equal(fine_keys[c], coarse_keys[v] * 2)
+    assert hits > 0
+
+    # finefy centre: defined only for all-even fine keys, pointing at key/2
+    for v in range(nrf):
+        c = up[v, -1]
+        k = fine_keys[v]
+        if (k % 2 == 0).all():
+            if c < coarse.capacity:
+                np.testing.assert_array_equal(coarse_keys[c], k // 2)
+        else:
+            assert c == coarse.capacity
+
+    # adjointness: coarse v lists fine u at +axis slot  <=>  fine u lists coarse v at -axis slot
+    checked = 0
+    for v in range(nrc):
+        for a in range(4):
+            u = down[v, 2 * a]
+            if u < fine.capacity:
+                assert up[u, 2 * a + 1] == v
+                checked += 1
+    assert checked > 0
+
+
+def test_build_is_jittable(rng):
+    pts = jnp.asarray(_cloud(rng, n=128))
+
+    @jax.jit
+    def build(p):
+        return st.build_hierarchy(p, 0.5, 1, (1024, 512))
+
+    h = build(pts)
+    h2 = build(pts + 0.0)
+    assert int(h.structures[0].nr_verts) == int(h2.structures[0].nr_verts)
