@@ -1,0 +1,444 @@
+"""Flax modules over lattice values (the reference's ``lattice_modules.py`` L5).
+
+Every module is a pure function of (params, values, structure tables); the
+lattice structure itself is never mutated.  Values are always ``(capacity, C)``
+arrays padded to the level's static capacity; per-level occupancy masks come
+from :meth:`LatticeStructure.occupancy_mask`.
+
+Padding discipline: padded rows may hold garbage after affine ops — every op
+that *reads* across rows (convs via neighbour tables, GN statistics, slices)
+masks by validity, so garbage never propagates.  This is cheaper on TPU than
+re-zeroing after each op and matches the invariant tested in
+``tests/test_model.py``.
+
+Initialisers follow the reference exactly where it matters for training
+dynamics: kaiming-uniform with fan = filter rows for convs
+(``lattice_modules.py:205-215``), the halved-fan ×2 variant for
+coarsen/finefy (``:274-292``), kaiming-normal fan-in for 1x1 linears
+(``:812``), and the ×0.1-scaled delta-weight head (``:509-516``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lattice_net_tpu.lattice import ops as lops
+from lattice_net_tpu.lattice.structure import filter_extent
+
+LEAKY_SLOPE = 0.2
+
+
+# ---------------------------------------------------------------------------
+# initialisers
+# ---------------------------------------------------------------------------
+
+
+def kaiming_uniform_rows(fan: float, gain: float = math.sqrt(2.0), mult: float = 1.0):
+    """torch kaiming_uniform with an explicit fan (reference conv init)."""
+    bound = math.sqrt(3.0) * gain / math.sqrt(fan) * mult
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def uniform_bias(fan: float):
+    bound = 1.0 / math.sqrt(fan)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def kaiming_normal_fan_in(fan_in: float, gain: float = math.sqrt(2.0)):
+    std = gain / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+def leaky_relu_gain(slope: float = LEAKY_SLOPE) -> float:
+    return math.sqrt(2.0 / (1.0 + slope**2))
+
+
+# ---------------------------------------------------------------------------
+# group norm over real vertices only
+# ---------------------------------------------------------------------------
+
+
+def masked_group_norm(lv, mask, num_groups, scale, bias, eps=1e-5):
+    """GroupNorm whose statistics ignore padded rows.
+
+    The reference normalises over exactly ``nr_verts`` rows because its value
+    tensors are dynamically sized (``lattice_modules.py:585-614``); with
+    static padding the mean/var must be computed under the occupancy mask or
+    the zeros would bias the statistics (SURVEY.md §7 'hard parts').
+    """
+    cap, c = lv.shape
+    g = num_groups
+    x = lv.reshape(cap, g, c // g)
+    m = mask[:, None, None].astype(lv.dtype)
+    count = jnp.maximum(jnp.sum(m) * (c // g), 1.0)
+    mean = jnp.sum(x * m, axis=(0, 2), keepdims=True) / count
+    var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 2), keepdims=True) / count
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return x.reshape(cap, c) * scale + bias
+
+
+def reference_group_count(channels: int, preferred: int = 32) -> int:
+    """32 groups when divisible, else C/2 (``lattice_modules.py:587-592``)."""
+    if channels % preferred == 0:
+        return preferred
+    return max(1, channels // 2)
+
+
+class GroupNormLattice(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, lv, mask):
+        g = reference_group_count(self.channels)
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return masked_group_norm(lv, mask, g, scale, bias)
+
+
+# ---------------------------------------------------------------------------
+# linear layers
+# ---------------------------------------------------------------------------
+
+
+class WNLinear(nn.Module):
+    """Weight-normalised linear (the reference's ``LinearWN``, ``utils.py:291``).
+
+    kernel = g * v / ||v||, with g per output feature and the norm over input
+    rows; g initialised to ||v_init|| so the first forward equals plain init.
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        gain = leaky_relu_gain()
+        kinit = self.kernel_init or kaiming_uniform_rows(in_f, gain)
+        v = self.param("v", kinit, (in_f, self.features))
+        # E[||column||] of kaiming-uniform with fan=in_f is exactly the gain,
+        # so a constant g reproduces ||v_init|| in expectation.
+        g = self.param("g", nn.initializers.constant(gain), (self.features,))
+        norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+        kernel = v * (g[None, :] / jnp.maximum(norm, 1e-12))
+        y = x @ kernel
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+# ---------------------------------------------------------------------------
+# lattice convolutions
+# ---------------------------------------------------------------------------
+
+
+class ConvIm2Row(nn.Module):
+    """Same-level 1-hop lattice conv (``ConvLatticeIm2RowModule``, ``lattice_modules.py:174-250``)."""
+
+    in_channels: int
+    out_channels: int
+    use_bias: bool = True
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, lv, neighbors):
+        pos_dim = neighbors.shape[1] // 2 - 1
+        extent = filter_extent(pos_dim)
+        rows = extent * self.in_channels
+        kinit = kaiming_uniform_rows(rows)
+        if self.weight_norm:
+            v = self.param("v", kinit, (rows, self.out_channels))
+            g = self.param("g", nn.initializers.constant(math.sqrt(2.0)), (self.out_channels,))
+            norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+            weight = v * (g[None, :] / jnp.maximum(norm, 1e-12))
+        else:
+            weight = self.param("weight", kinit, (rows, self.out_channels))
+        out = lops.conv_im2row(lv, neighbors, weight, same_level=True)
+        if self.use_bias:
+            out = out + self.param("bias", uniform_bias(rows), (self.out_channels,))
+        return out
+
+
+class _CrossLevelConv(nn.Module):
+    """Shared body of coarsen/finefy convs: cross-level gather-GEMM with the
+    reference's halved-fan ×2 init compensating mostly-empty neighbourhoods
+    (``lattice_modules.py:274-292``)."""
+
+    in_channels: int
+    out_channels: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, lv_src, neighbors):
+        extent = neighbors.shape[1]  # 2(d+1)+1, centre included in table
+        rows = extent * self.in_channels
+        kinit = kaiming_uniform_rows(rows / 2.0, mult=2.0)
+        weight = self.param("weight", kinit, (rows, self.out_channels))
+        out = lops.conv_im2row(lv_src, neighbors, weight, same_level=False)
+        if self.use_bias:
+            out = out + self.param("bias", uniform_bias(rows), (self.out_channels,))
+        return out
+
+
+class CoarsenConv(_CrossLevelConv):
+    """Fine -> coarse conv (``CoarsenLatticeModule``); neighbors = hierarchy.neighbors_coarsen[i]."""
+
+
+class FinefyConv(_CrossLevelConv):
+    """Coarse -> fine conv (``FinefyLatticeModule``); neighbors = hierarchy.neighbors_finefy[i]."""
+
+
+# ---------------------------------------------------------------------------
+# composed layers (GN -> ReLU -> op, densenet-style pre-activation)
+# ---------------------------------------------------------------------------
+
+
+class GnRelu1x1(nn.Module):
+    """``lattice_modules.py:806-833``: GN -> ReLU -> Linear (kaiming-normal fan-in)."""
+
+    in_channels: int
+    out_channels: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, lv, mask):
+        lv = GroupNormLattice(self.in_channels)(lv, mask)
+        lv = jax.nn.relu(lv)
+        kernel = self.param(
+            "kernel", kaiming_normal_fan_in(self.in_channels), (self.in_channels, self.out_channels)
+        )
+        lv = lv @ kernel
+        if self.use_bias:
+            lv = lv + self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return lv
+
+
+class GnReluConv(nn.Module):
+    """``lattice_modules.py:935-960``: GN -> ReLU -> [dropout] -> lattice conv."""
+
+    in_channels: int
+    out_channels: int
+    use_bias: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, lv, neighbors, mask, deterministic=True):
+        lv = GroupNormLattice(self.in_channels)(lv, mask)
+        lv = jax.nn.relu(lv)
+        if self.dropout > 0.0:
+            lv = channel_dropout(self, lv, self.dropout, deterministic)
+        return ConvIm2Row(self.in_channels, self.out_channels, self.use_bias)(lv, neighbors)
+
+
+class CoarsenAct(nn.Module):
+    """``lattice_modules.py:1011-1041``: coarsen conv -> LeakyReLU (the model's downsample)."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, lv_fine, coarsen_table):
+        lv = CoarsenConv(self.in_channels, self.out_channels)(lv_fine, coarsen_table)
+        return jax.nn.leaky_relu(lv, LEAKY_SLOPE)
+
+
+class GnReluCoarsen(nn.Module):
+    """``lattice_modules.py:1068-1095``: GN(fine) -> ReLU -> coarsen conv."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, lv_fine, coarsen_table, fine_mask):
+        lv = GroupNormLattice(self.in_channels)(lv_fine, fine_mask)
+        lv = jax.nn.relu(lv)
+        return CoarsenConv(self.in_channels, self.out_channels)(lv, coarsen_table)
+
+
+class GnReluFinefy(nn.Module):
+    """``lattice_modules.py:1152-1175``: GN(coarse) -> ReLU -> finefy conv."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, lv_coarse, finefy_table, coarse_mask):
+        lv = GroupNormLattice(self.in_channels)(lv_coarse, coarse_mask)
+        lv = jax.nn.relu(lv)
+        return FinefyConv(self.in_channels, self.out_channels)(lv, finefy_table)
+
+
+class ResnetBlock(nn.Module):
+    """Pre-activation residual block of two GnReluConv (``lattice_modules.py:1255-1305``)."""
+
+    channels: int
+    biases: Sequence[bool] = (False, False)
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, lv, neighbors, mask, deterministic=True):
+        identity = lv
+        lv = GnReluConv(self.channels, self.channels, self.biases[0])(lv, neighbors, mask)
+        lv = GnReluConv(self.channels, self.channels, self.biases[1], self.dropout)(
+            lv, neighbors, mask, deterministic
+        )
+        return lv + identity
+
+
+class BottleneckBlock(nn.Module):
+    """Pre-activation bottleneck: 1x1 contract (÷4) -> conv -> 1x1 expand
+    (``lattice_modules.py:1336-1360``)."""
+
+    channels: int
+    biases: Sequence[bool] = (False, False, False)
+
+    @nn.compact
+    def __call__(self, lv, neighbors, mask, deterministic=True):
+        mid = self.channels // 4
+        identity = lv
+        lv = GnRelu1x1(self.channels, mid, self.biases[0])(lv, mask)
+        lv = GnReluConv(mid, mid, self.biases[1])(lv, neighbors, mask)
+        lv = GnRelu1x1(mid, self.channels, self.biases[2])(lv, mask)
+        return lv + identity
+
+
+def channel_dropout(module: nn.Module, lv, prob: float, deterministic: bool):
+    """Dropout2d-style whole-channel dropout (``DropoutLattice``, ``lattice_modules.py:26-42``)."""
+    if deterministic or prob == 0.0:
+        return lv
+    rng = module.make_rng("dropout")
+    keep = jax.random.bernoulli(rng, 1.0 - prob, (1, lv.shape[1]))
+    return lv * keep / (1.0 - prob)
+
+
+# ---------------------------------------------------------------------------
+# distribute + pointnet (the input featuriser)
+# ---------------------------------------------------------------------------
+
+
+def distribute_module(positions, values, splat_idx, splat_weights, capacity, point_mask=None):
+    """Parameter-free distribute with local-mean subtraction.
+
+    ``DistributeLatticeModule`` (``lattice_modules.py:52-96``).  Returns
+    (rows, edge_idx): one row per (point, simplex-vertex) edge.
+    """
+    return lops.distribute(
+        positions, values, splat_idx, splat_weights, capacity, point_mask=point_mask
+    )
+
+
+class PointNetModule(nn.Module):
+    """Per-edge MLP -> per-vertex max pool -> barycentric-of-argmax concat -> 1-hop conv.
+
+    ``PointNetModule`` (``lattice_modules.py:618-733``): the winning edge's
+    barycentric weight is concatenated per channel; simplices receiving fewer
+    than ``min_points`` points are zeroed; the final WN conv mixes 1-hop
+    neighbours.  Deviation from the reference: invalid edges are dropped by
+    index masking instead of routing them to a sacrificial vertex row 0.
+    """
+
+    channels_per_layer: Sequence[int]
+    out_channels: int
+    min_points: int = 4
+
+    @nn.compact
+    def __call__(self, rows, edge_idx, capacity, neighbors, mask):
+        bary = rows[:, -1]
+        feats = rows[:, :-1]
+        for c in self.channels_per_layer:
+            feats = WNLinear(c)(feats)
+            feats = jax.nn.leaky_relu(feats, LEAKY_SLOPE)
+
+        maxed, argsrc = lops.segment_max_with_src(feats, edge_idx, capacity)
+        m = rows.shape[0]
+        bary_red = jnp.take(bary, jnp.minimum(argsrc, m - 1), axis=0)
+        bary_red = jnp.where(argsrc < m, bary_red, 0.0)
+        lv = jnp.concatenate([maxed, bary_red], axis=-1)  # (capacity, 2C)
+
+        ones = jnp.ones((m, 1), dtype=feats.dtype)
+        count = lops.segment_sum(ones, edge_idx, capacity)
+        lv = jnp.where(count >= self.min_points, lv, 0.0)
+
+        lv = ConvIm2Row(
+            2 * self.channels_per_layer[-1], self.out_channels, use_bias=True, weight_norm=True
+        )(lv, neighbors)
+        return jax.nn.leaky_relu(lv, LEAKY_SLOPE)
+
+
+# ---------------------------------------------------------------------------
+# deformable slice-classify head
+# ---------------------------------------------------------------------------
+
+
+class SliceFastModule(nn.Module):
+    """Stepdown -> bottleneck(8) -> gather -> learned Δ-barycentric -> fused classify.
+
+    ``SliceFastCUDALatticeModule`` (``lattice_modules.py:424-567``): two
+    GnRelu1x1 stepdowns halving channels, an 8-channel bottleneck, a gather of
+    per-vertex (value*w, w) blocks, max-centering with learned gamma/beta, a
+    ×0.1-initialised linear producing per-vertex barycentric offsets, and the
+    fused deformable-slice + linear classifier.
+    """
+
+    in_channels: int
+    nr_classes: int
+    bottleneck_size: int = 8
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, lv, mask, splat_idx, splat_weights, deterministic=True):
+        n, d1 = splat_idx.shape
+
+        cur = self.in_channels
+        lv_b = lv
+        for i in range(2):
+            out = self.in_channels // (2**i)
+            lv_b = GnRelu1x1(cur, out, use_bias=False)(lv_b, mask)
+            cur = out
+        lv_b = GnRelu1x1(cur, self.bottleneck_size, use_bias=False)(lv_b, mask)
+
+        gathered = lops.gather_lattice(lv_b, splat_idx, splat_weights)
+        vdim = self.bottleneck_size + 1
+        g = gathered.reshape(n, d1, vdim)
+
+        gamma = self.param("gamma", nn.initializers.ones, (vdim,))
+        beta = self.param("beta", nn.initializers.zeros, (vdim,))
+        max_vals = jnp.max(g, axis=1, keepdims=True)
+        g = g - (gamma * max_vals + beta)
+
+        # delta-weight head: kaiming fan-in for tanh, scaled 0.1; zero bias
+        def dw_init(key, shape, dtype=jnp.float32):
+            gain = 5.0 / 3.0  # torch tanh gain
+            bound = math.sqrt(3.0) * gain / math.sqrt(shape[0])
+            return jax.random.uniform(key, shape, dtype, -bound, bound) * 0.1
+
+        dw_kernel = self.param("delta_kernel", dw_init, (vdim, 1))
+        dw_bias = self.param("delta_bias", nn.initializers.zeros, (1,))
+        delta = (g @ dw_kernel + dw_bias).reshape(n, d1)
+
+        if self.dropout > 0.0:
+            lv = channel_dropout(self, lv, self.dropout, deterministic)
+
+        cls_gain = leaky_relu_gain(1.0)  # reference: leaky_relu_init(linear, 1.0)
+        w_init = kaiming_uniform_rows(self.in_channels, cls_gain)
+        cls_w = self.param("classify_kernel", w_init, (self.nr_classes, self.in_channels))
+        cls_b = self.param("classify_bias", nn.initializers.zeros, (self.nr_classes,))
+        return lops.slice_classify(lv, splat_idx, splat_weights, delta, cls_w, cls_b)

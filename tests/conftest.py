@@ -2,12 +2,18 @@
 
 import os
 
-# must happen before jax is imported anywhere (the ambient env may preset a
-# TPU platform; tests always run on the virtual CPU mesh)
+# The ambient environment presets a TPU platform AND pre-imports jax via a
+# sitecustomize hook, so plain env vars are not enough: force the CPU platform
+# through jax.config after import.  XLA_FLAGS is still read at backend init,
+# which has not happened yet at conftest time.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,99 @@
+"""Loss function behaviour + oracle checks (NLL vs torch, Lovász vs scalar Alg.1)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lattice_net_tpu import losses
+
+
+def _log_probs(rng, n, c):
+    x = rng.normal(size=(n, c)).astype(np.float32)
+    x = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    return x
+
+
+def test_nll_matches_torch(rng):
+    import torch
+
+    lp = _log_probs(rng, 50, 5)
+    t = rng.integers(0, 5, size=50)
+    t[:7] = 2  # make the ignored class present
+    got = float(losses.nll_loss(jnp.asarray(lp), jnp.asarray(t), ignore_index=2))
+    want = float(
+        torch.nn.NLLLoss(ignore_index=2)(torch.from_numpy(lp), torch.from_numpy(t))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_nll_class_weights_match_torch(rng):
+    import torch
+
+    lp = _log_probs(rng, 64, 4)
+    t = rng.integers(0, 4, size=64)
+    w = rng.uniform(0.1, 2.0, size=4).astype(np.float32)
+    got = float(
+        losses.nll_loss(jnp.asarray(lp), jnp.asarray(t), ignore_index=-1, class_weights=jnp.asarray(w))
+    )
+    want = float(torch.nn.NLLLoss(weight=torch.from_numpy(w))(torch.from_numpy(lp), torch.from_numpy(t)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _lovasz_oracle(log_probs, targets, ignore_index):
+    """Scalar transcription of Lovász-Softmax Alg.1 (Berman et al. 2018)."""
+    probs = np.exp(log_probs)
+    n, c = probs.shape
+    keep = targets != ignore_index
+    probs, targets = probs[keep], targets[keep]
+    out = []
+    for cl in range(c):
+        if cl == ignore_index:
+            continue
+        gt = (targets == cl).astype(np.float64)
+        if gt.sum() == 0:
+            continue
+        err = np.abs(gt - probs[:, cl])
+        order = np.argsort(-err, kind="stable")
+        gs = gt[order]
+        gts = gs.sum()
+        inter = gts - np.cumsum(gs)
+        union = gts + np.cumsum(1 - gs)
+        jac = 1 - inter / union
+        jac[1:] = jac[1:] - jac[:-1]
+        out.append(np.dot(err[order], jac))
+    return float(np.mean(out))
+
+
+def test_lovasz_matches_oracle(rng):
+    lp = _log_probs(rng, 80, 5)
+    t = rng.integers(0, 4, size=80)  # class 4 absent -> skipped
+    t[:9] = 3
+    got = float(losses.lovasz_softmax(jnp.asarray(lp), jnp.asarray(t), ignore_index=3))
+    want = _lovasz_oracle(lp, t, ignore_index=3)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_perfect_prediction_low_loss(rng):
+    t = rng.integers(0, 4, size=100)
+    lp = np.full((100, 4), -20.0, np.float32)
+    lp[np.arange(100), t] = 0.0
+    total = float(losses.segmentation_loss(jnp.asarray(lp), jnp.asarray(t)))
+    assert total < 1e-3
+
+
+def test_point_mask_equivalent_to_dropping(rng):
+    lp = _log_probs(rng, 60, 4)
+    t = rng.integers(0, 4, size=60)
+    mask = np.ones(60, bool)
+    mask[40:] = False
+    a = float(
+        losses.segmentation_loss(jnp.asarray(lp), jnp.asarray(t), point_mask=jnp.asarray(mask))
+    )
+    b = float(losses.segmentation_loss(jnp.asarray(lp[:40]), jnp.asarray(t[:40])))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_dice_bounds(rng):
+    lp = _log_probs(rng, 60, 4)
+    t = rng.integers(0, 4, size=60)
+    d = float(losses.generalized_dice_loss(jnp.asarray(lp), jnp.asarray(t)))
+    assert 0.0 <= d <= 1.0

@@ -1,0 +1,99 @@
+"""End-to-end model tests: init, forward shapes, overfitting a toy cloud."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from lattice_net_tpu.data import make_toy_cloud
+from lattice_net_tpu.lattice.structure import build_hierarchy
+from lattice_net_tpu.losses import segmentation_loss
+from lattice_net_tpu.models import LNN, ModelParams, prepare_cloud
+
+SMALL = ModelParams(
+    nr_classes=4,
+    pointnet_channels_per_layer=(8, 8),
+    pointnet_start_nr_channels=8,
+    nr_downsamples=2,
+    nr_blocks_down_stage=(1, 1),
+    nr_blocks_bottleneck=1,
+    nr_blocks_up_stage=(1, 1),
+    nr_levels_down_with_normal_resnet=2,
+    nr_levels_up_with_normal_resnet=2,
+)
+CAPS = (1024, 512, 256)
+SIGMA = 0.2
+
+
+@pytest.fixture(scope="module")
+def toy():
+    cloud = make_toy_cloud(n_points=600, nr_classes=4, seed=3)
+    mp = SMALL
+    positions, values, target = prepare_cloud(cloud, mp)
+    h = build_hierarchy(jnp.asarray(positions), SIGMA, mp.nr_downsamples, CAPS)
+    return h, jnp.asarray(positions), jnp.asarray(values), jnp.asarray(target)
+
+
+def test_forward_shapes_and_grads(toy):
+    h, pos, vals, target = toy
+    model = LNN(SMALL)
+    params = model.init(jax.random.PRNGKey(0), h, pos, vals)
+    logp, logits = model.apply(params, h, pos, vals)
+    assert logp.shape == (600, 4)
+    assert bool(jnp.isfinite(logp).all())
+    # log-softmax rows normalise
+    np.testing.assert_allclose(np.asarray(jnp.exp(logp).sum(-1)), 1.0, atol=1e-4)
+
+    def loss_fn(p):
+        lp, _ = model.apply(p, h, pos, vals)
+        return segmentation_loss(lp, target)
+
+    g = jax.grad(loss_fn)(params)
+    norms = jax.tree.map(lambda x: float(jnp.linalg.norm(x)), g)
+    flat = jax.tree.leaves(norms)
+    assert all(np.isfinite(flat)), "non-finite gradient"
+    assert sum(v > 0 for v in flat) > len(flat) * 0.8, "too many dead gradients"
+
+
+def test_overfit_toy_cloud(toy):
+    h, pos, vals, target = toy
+    model = LNN(SMALL)
+    params = model.init(jax.random.PRNGKey(0), h, pos, vals)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            lp, _ = model.apply(p, h, pos, vals)
+            return segmentation_loss(lp, target)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+
+    assert losses[-1] < losses[0] * 0.6, f"no overfit: {losses[0]:.3f} -> {losses[-1]:.3f}"
+
+    logp, _ = model.apply(params, h, pos, vals)
+    acc = float((jnp.argmax(logp, -1) == target).mean())
+    assert acc > 0.7, f"toy accuracy {acc}"
+
+
+def test_model_batched_vmap(toy):
+    h, pos, vals, target = toy
+    model = LNN(SMALL)
+    params = model.init(jax.random.PRNGKey(0), h, pos, vals)
+
+    hb = jax.tree.map(lambda x: jnp.stack([x, x]), h)
+    posb = jnp.stack([pos, pos])
+    valsb = jnp.stack([vals, vals])
+    logp, _ = jax.vmap(lambda hh, pp, vv: model.apply(params, hh, pp, vv))(hb, posb, valsb)
+    assert logp.shape == (2, 600, 4)
+    single, _ = model.apply(params, h, pos, vals)
+    np.testing.assert_allclose(np.asarray(logp[0]), np.asarray(single), atol=2e-5)
