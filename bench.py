@@ -1,0 +1,100 @@
+"""Headline benchmark: per-scan inference latency at SemanticKITTI scale.
+
+Runs the flagship model (the reference's KITTI "smallernet" config, sigma
+0.6) on a synthetic LiDAR-like scan of 2^17 points — the scale of a real
+SemanticKITTI sweep (~120k points, ~10-40k lattice vertices; reference
+``config/lnn_train_semantic_kitti.cfg:62-71``) — end to end: lattice
+hierarchy build + U-Net forward + slice-classify, jitted as one XLA program.
+
+Baseline: the reference paper reports real-time-capable inference on a single
+consumer GPU; the in-repo kernel timing note (``LatticeGPU.cuh:897``) and the
+RSS'20 paper place a full forward at ~55 ms/scan on the GPUs of record.
+``vs_baseline`` = ours_ms / 55.0 (lower is better).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MS = 55.0
+
+
+def synthetic_kitti_scan(n_points: int, seed: int = 0) -> np.ndarray:
+    """LiDAR-like scan: points on concentric rings with ground + structure."""
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(2.0, 50.0, n_points) ** 0.8 * (50.0 ** 0.2)
+    theta = rng.uniform(0, 2 * np.pi, n_points)
+    x = r * np.cos(theta)
+    y = r * np.sin(theta)
+    ground = rng.random(n_points) < 0.6
+    z = np.where(
+        ground,
+        rng.normal(-1.6, 0.05, n_points),
+        rng.uniform(-1.5, 4.0, n_points),
+    )
+    return np.stack([x, y, z], axis=1).astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lattice_net_tpu.lattice.structure import build_hierarchy
+    from lattice_net_tpu.models import LNN, ModelParams
+
+    mp = ModelParams(
+        nr_classes=20,
+        pointnet_channels_per_layer=(16, 32),
+        pointnet_start_nr_channels=32,
+        nr_downsamples=2,
+        nr_blocks_down_stage=(1, 1),
+        nr_blocks_bottleneck=1,
+        nr_blocks_up_stage=(1, 1),
+        nr_levels_down_with_normal_resnet=3,
+        nr_levels_up_with_normal_resnet=3,
+    )
+    sigma = 0.6
+    n_points = 1 << 17  # 131072, a full KITTI sweep
+    caps = (1 << 16, 1 << 15, 1 << 14)
+
+    positions = jnp.asarray(synthetic_kitti_scan(n_points))
+    values = jnp.zeros((n_points, 1), jnp.float32)
+
+    model = LNN(mp)
+    h0 = build_hierarchy(positions, sigma, mp.nr_downsamples, caps)
+    params = model.init(jax.random.PRNGKey(0), h0, positions, values)
+
+    @jax.jit
+    def forward(params, positions, values):
+        h = build_hierarchy(positions, sigma, mp.nr_downsamples, caps)
+        logp, _ = model.apply(params, h, positions, values)
+        return jnp.argmax(logp, axis=-1)
+
+    # compile + warmup
+    pred = forward(params, positions, values)
+    pred.block_until_ready()
+
+    times = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        forward(params, positions, values).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1000.0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "semantickitti_scale_per_scan_inference_latency",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(ms / BASELINE_MS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,3 +47,30 @@ def make_toy_cloud(n_points: int = 2000, nr_classes: int = 4, seed: int = 0) -> 
     C = np.clip(V * 0.5 + 0.5, 0, 1).astype(np.float32)
     I = np.linalg.norm(V, axis=1, keepdims=True).astype(np.float32)
     return ToyCloud(V=V, C=C, I=I, L_gt=L)
+
+
+class ToyDataset:
+    """Loader-shaped wrapper over procedural clouds (train/test splits by seed)."""
+
+    nr_classes = 4
+    ignore_index = -1
+
+    def __init__(self, mode: str = "train", nr_samples: int = 20, n_points: int = 2000,
+                 do_overfit: bool = False, seed: int = 0):
+        self.mode = mode
+        self.nr_samples = 1 if do_overfit else nr_samples
+        self.n_points = n_points
+        self.do_overfit = do_overfit
+        self.base_seed = seed + (0 if mode == "train" else 10_000)
+
+    def __len__(self):
+        return self.nr_samples
+
+    def get_cloud(self, idx: int) -> ToyCloud:
+        if self.do_overfit:
+            idx = 0
+        return make_toy_cloud(self.n_points, self.nr_classes, seed=self.base_seed + idx)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.get_cloud(i)

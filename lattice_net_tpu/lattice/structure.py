@@ -128,16 +128,22 @@ class LatticeStructure:
         c = self.capacity
         table = self.keys
         batch_shape = query_keys.shape[:-1]
-        pos = jnp.zeros(batch_shape, dtype=jnp.int32)
-        step = 1 << max(0, (c - 1).bit_length() - 1) if c > 1 else 0
-        # classic power-of-two lower_bound: pos ends as #(rows < query)
-        while step:
+        nsteps = (c - 1).bit_length() if c > 1 else 0
+        step0 = 1 << (nsteps - 1) if nsteps else 0
+
+        # classic power-of-two lower_bound: pos ends as #(rows < query).
+        # A fori_loop (not a python unroll) keeps the HLO small — with tables
+        # of 2^16+ rows an unrolled 17-deep gather chain per neighbour query
+        # made XLA compile times explode.
+        def body(i, pos):
+            step = jnp.int32(step0) >> i
             cand = pos + step
             ok = cand <= c
             rows = jnp.take(table, jnp.minimum(cand - 1, c - 1), axis=0)
             advance = ok & _lex_less(rows, query_keys)
-            pos = jnp.where(advance, cand, pos)
-            step >>= 1
+            return jnp.where(advance, cand, pos)
+
+        pos = jax.lax.fori_loop(0, nsteps, body, jnp.zeros(batch_shape, dtype=jnp.int32))
         in_range = pos < c
         rows = jnp.take(table, jnp.minimum(pos, c - 1), axis=0)
         found = in_range & jnp.all(rows == query_keys, axis=-1)

@@ -1,0 +1,187 @@
+"""Data-parallel training over device meshes (new capability vs the reference).
+
+The reference is strictly single-GPU (SURVEY.md §2.3: device 0 hard-coded, no
+torch.distributed anywhere).  Here training scales the TPU way:
+
+  * a batch of clouds is padded to a static ``(B, N, ...)`` block;
+  * the per-cloud forward (hierarchy build + U-Net + loss) is ``jax.vmap``-ed
+    over the batch — structures are independent per cloud, so batching is
+    pure vectorisation, no cross-cloud indexing;
+  * devices come in via ``jax.shard_map`` over a ``Mesh`` axis ``dp``: the
+    batch is sharded on its leading axis, gradients are ``psum``-averaged
+    over ICI, and every device applies the same optimizer update (replicated
+    state, no parameter server).
+
+This module is deliberately free of host sync: the returned step functions
+are jittable end-to-end, including the lattice-structure build.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lattice_net_tpu.lattice.structure import build_hierarchy
+from lattice_net_tpu.losses import segmentation_loss
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_batch(clouds, model_params, n_points: int):
+    """Pad a list of (positions, values, target) triples to a static batch.
+
+    Returns dict of stacked arrays: positions (B,N,d), values (B,N,C),
+    target (B,N) int32, point_mask (B,N) bool.  The padding mask threads
+    through hierarchy build (padded points create no vertices) and the loss.
+    """
+    ps, vs, ts, ms = [], [], [], []
+    for positions, values, target in clouds:
+        n = positions.shape[0]
+        if n > n_points:
+            sel = np.random.default_rng(0).choice(n, n_points, replace=False)
+            positions, values, target = positions[sel], values[sel], target[sel]
+            n = n_points
+        pad = n_points - n
+        ps.append(np.pad(positions, ((0, pad), (0, 0))))
+        vs.append(np.pad(values, ((0, pad), (0, 0))))
+        ts.append(np.pad(target, (0, pad)))
+        ms.append(np.arange(n_points) < n)
+    return {
+        "positions": jnp.asarray(np.stack(ps), jnp.float32),
+        "values": jnp.asarray(np.stack(vs), jnp.float32),
+        "target": jnp.asarray(np.stack(ts), jnp.int32),
+        "point_mask": jnp.asarray(np.stack(ms)),
+    }
+
+
+def make_loss_fn(
+    model,
+    sigma,
+    nr_levels: int,
+    capacities: Sequence[int],
+    ignore_index: int = -1,
+    class_weights=None,
+) -> Callable:
+    """Batched (vmapped) loss over a padded batch of clouds."""
+
+    capacities = tuple(int(c) for c in capacities)
+
+    def per_cloud(params, positions, values, target, point_mask, rng, train):
+        from lattice_net_tpu.train.callbacks import iou_counts_device
+
+        h = build_hierarchy(positions, sigma, nr_levels, capacities, point_mask=point_mask)
+        kwargs = {}
+        if train:
+            kwargs = {"deterministic": False, "rngs": {"dropout": rng}}
+        logp, _ = model.apply(params, h, positions, values, **kwargs)
+        loss = segmentation_loss(logp, target, ignore_index, class_weights, point_mask)
+        valid = point_mask & (target != ignore_index)
+        correct = (jnp.argmax(logp, -1) == target) & valid
+        nr_classes = logp.shape[-1]
+        inter, union = iou_counts_device(logp, target, nr_classes, ignore_index, point_mask)
+        return loss, (jnp.sum(correct), jnp.sum(valid), h.structures[0].nr_verts, inter, union)
+
+    def loss_fn(params, batch, rng, train=True):
+        b = batch["positions"].shape[0]
+        rngs = jax.random.split(rng, b)
+        losses, aux = jax.vmap(
+            lambda p, v, t, m, r: per_cloud(params, p, v, t, m, r, train)
+        )(batch["positions"], batch["values"], batch["target"], batch["point_mask"], rngs)
+        correct, valid, nr_verts, inter, union = aux
+        metrics = {
+            "loss": jnp.mean(losses),
+            "acc": jnp.sum(correct) / jnp.maximum(jnp.sum(valid), 1),
+            "nr_verts_mean": jnp.mean(nr_verts),
+            "iou_intersection": jnp.sum(inter, axis=0),
+            "iou_union": jnp.sum(union, axis=0),
+        }
+        return jnp.mean(losses), metrics
+
+    return loss_fn
+
+
+def make_train_step(model, tx, sigma, nr_levels, capacities, ignore_index=-1, class_weights=None):
+    """Single-device (or inner, per-shard) jittable train step."""
+    loss_fn = make_loss_fn(model, sigma, nr_levels, capacities, ignore_index, class_weights)
+
+    def train_step(state: TrainState, batch, rng, axis_name: str | None = None):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
+
+    return train_step
+
+
+def make_dp_train_step(
+    model,
+    tx,
+    mesh: Mesh,
+    sigma,
+    nr_levels,
+    capacities,
+    ignore_index=-1,
+    class_weights=None,
+    axis: str = "dp",
+):
+    """Data-parallel train step: batch sharded over ``axis``, grads psum over ICI.
+
+    State is replicated; each device computes grads for its local clouds, a
+    single ``pmean`` (one all-reduce on the interconnect) averages them, and
+    the optimizer update is applied redundantly-but-identically per device —
+    the standard JAX DP recipe (scaling-book style), with zero host traffic.
+    """
+    inner = make_train_step(model, tx, sigma, nr_levels, capacities, ignore_index, class_weights)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), {k: P(axis) for k in ("positions", "values", "target", "point_mask")}, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def dp_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        return inner(state, batch, rng, axis_name=axis)
+
+    def step(state, batch, rng):
+        return dp_step(state, batch, rng)
+
+    return jax.jit(step)
+
+
+def replicate_state(state, mesh: Mesh):
+    """Place a TrainState replicated across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(batch, sharding)

@@ -1,0 +1,118 @@
+"""Evaluation CLI: ``python -m lattice_net_tpu.train.ln_eval <config.cfg>``.
+
+Rebuild of ``latticenet_py/ln_eval.py``: restores a checkpoint, runs the test
+split, accumulates per-class IoU, and optionally writes benchmark-server
+submissions (SemanticKITTI ``.label`` binaries / ScanNet txt predictions).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def run(config_path: str, checkpoint: str = "", write_predictions: bool | None = None):
+    import jax
+
+    from lattice_net_tpu.config import (
+        EvalParams,
+        LatticeParams,
+        load_config,
+        model_params_from_config,
+    )
+    from lattice_net_tpu.lattice.structure import build_hierarchy, default_capacity_schedule
+    from lattice_net_tpu.models import LNN, prepare_cloud
+    from lattice_net_tpu.parallel import make_batch, make_loss_fn
+    from lattice_net_tpu.train.callbacks import Scores
+    from lattice_net_tpu.train.checkpoint import load_checkpoint
+    from lattice_net_tpu.train.ln_train import create_loader
+
+    cfg = load_config(config_path)
+    ep = EvalParams.from_config(cfg)
+    lp = LatticeParams.from_config(cfg)
+    checkpoint = checkpoint or ep.checkpoint_path
+    do_write = ep.do_write_predictions if write_predictions is None else write_predictions
+
+    loader = create_loader(ep.dataset_name, cfg, "test")
+    nr_classes = loader.nr_classes
+    ignore_index = getattr(loader, "ignore_index", -1)
+    mp = model_params_from_config(cfg, nr_classes)
+    sigma = lp.sigmas[0] if len(set(lp.sigmas)) == 1 else np.asarray(lp.sigmas)
+    caps = default_capacity_schedule(lp.hash_table_capacity, mp.nr_downsamples)
+
+    first = loader.get_cloud(0)
+    n_points = 1 << int(np.ceil(np.log2(max(len(first.V), 512))))
+    model = LNN(mp)
+
+    b0 = make_batch([prepare_cloud(first, mp)], mp, n_points)
+    h0 = build_hierarchy(
+        b0["positions"][0], sigma, mp.nr_downsamples, caps, point_mask=b0["point_mask"][0]
+    )
+    params = model.init(jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0])
+    if checkpoint:
+        from lattice_net_tpu.parallel import TrainState
+        from lattice_net_tpu.train import make_optimizer
+
+        template = TrainState.create(params, make_optimizer())
+        try:
+            params = load_checkpoint(checkpoint, template).params
+            print(f"restored checkpoint {checkpoint}")
+        except Exception:
+            # also accept raw params-only checkpoints
+            params = load_checkpoint(checkpoint, params)
+            print(f"restored params-only checkpoint {checkpoint}")
+
+    @jax.jit
+    def predict(params, batch):
+        h = build_hierarchy(
+            batch["positions"][0], sigma, mp.nr_downsamples, caps,
+            point_mask=batch["point_mask"][0],
+        )
+        logp, _ = model.apply(params, h, batch["positions"][0], batch["values"][0])
+        return jax.numpy.argmax(logp, axis=-1)
+
+    scores = Scores()
+    out_dir = Path(ep.output_predictions_path or "predictions")
+    from lattice_net_tpu.train.callbacks import iou_counts
+
+    for i, cloud in enumerate(loader):
+        batch = make_batch([prepare_cloud(cloud, mp)], mp, n_points)
+        pred = np.asarray(predict(params, batch))
+        mask = np.asarray(batch["point_mask"][0])
+        target = np.asarray(batch["target"][0])
+        pred_v, target_v = pred[mask], target[mask]
+        inter, union = iou_counts(pred_v, target_v, nr_classes, ignore_index)
+        scores.accumulate(inter, union)
+
+        if do_write:
+            if ep.dataset_name == "semantickitti":
+                from lattice_net_tpu.data.semantic_kitti import write_kitti_label_file
+
+                write_kitti_label_file(out_dir / f"{i:06d}.label", pred_v)
+            elif ep.dataset_name == "scannet":
+                from lattice_net_tpu.data.scannet import write_scannet_prediction
+
+                write_scannet_prediction(out_dir / f"scene_{i:04d}.txt", pred_v)
+            else:
+                out_dir.mkdir(parents=True, exist_ok=True)
+                np.savetxt(out_dir / f"pred_{i:05d}.txt", pred_v, fmt="%d")
+
+    names = getattr(loader, "label_names", lambda: None)()
+    miou = scores.avg_class_iou(print_per_class=True, class_names=names)
+    print(f"mIoU: {miou:.4f}")
+    return miou
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config")
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--write-predictions", action="store_true", default=None)
+    args = ap.parse_args()
+    run(args.config, args.checkpoint, args.write_predictions)
+
+
+if __name__ == "__main__":
+    main()
