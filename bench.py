@@ -68,21 +68,29 @@ def main():
     params = model.init(jax.random.PRNGKey(0), h0, positions, values)
 
     @jax.jit
-    def forward(params, positions, values):
+    def forward_chain(params, positions, values):
         h = build_hierarchy(positions, sigma, mp.nr_downsamples, caps)
         logp, _ = model.apply(params, h, positions, values)
-        return jnp.argmax(logp, axis=-1)
+        pred = jnp.argmax(logp, axis=-1)
+        # thread a (numerically zero) data dependency from the prediction back
+        # into the positions so chained calls cannot be cached/overlapped by
+        # the runtime: each iteration must fully execute before the next.
+        feedback = (jnp.sum(pred) % 2).astype(jnp.float32) * 1e-12
+        return pred, positions + feedback
 
     # compile + warmup
-    pred = forward(params, positions, values)
+    pred, positions = forward_chain(params, positions, values)
     pred.block_until_ready()
+    print(
+        f"# lattice occupancy: {int(build_hierarchy(positions, sigma, mp.nr_downsamples, caps).structures[0].nr_verts)} / {caps[0]} vertices"
+    )
 
-    times = []
-    for i in range(20):
-        t0 = time.perf_counter()
-        forward(params, positions, values).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    ms = float(np.median(times) * 1000.0)
+    k = 30
+    t0 = time.perf_counter()
+    for i in range(k):
+        pred, positions = forward_chain(params, positions, values)
+    pred.block_until_ready()
+    ms = (time.perf_counter() - t0) / k * 1000.0
 
     print(
         json.dumps(

@@ -193,9 +193,62 @@ def conv_im2row(
     assert weight.shape[0] == extent * c_in, (
         f"filter bank rows {weight.shape[0]} != extent*C_in {extent * c_in}"
     )
-    return jnp.dot(
-        patch.reshape(cq, extent * c_in), weight, preferred_element_type=jnp.float32
-    )
+    # accumulate in at least f32 (bf16 inputs accumulate f32; f64 stays f64)
+    acc = jnp.result_type(patch.dtype, weight.dtype, jnp.float32)
+    return jnp.dot(patch.reshape(cq, extent * c_in), weight, preferred_element_type=acc)
+
+
+def expand(
+    positions: jnp.ndarray,
+    sigma,
+    capacity: int,
+    point_multiplier: int,
+    noise_stddev: float,
+    rng,
+    values: jnp.ndarray | None = None,
+    point_mask: jnp.ndarray | None = None,
+):
+    """Create extra lattice vertices around noise-jittered position copies.
+
+    Port of ``Lattice::expand`` (``src/Lattice.cu:292-348``): replicate the
+    positions ``point_multiplier`` times, add gaussian noise, and build a
+    structure over the union.  Vertex values for the new vertices are zero
+    (the reference zero-pads); existing-vertex values can be re-splatted by
+    the caller.  Returns (structure, splat_idx, splat_weights) over the
+    expanded point set — deterministic given ``rng``.
+    """
+    from lattice_net_tpu.lattice import structure as st
+
+    n, d = positions.shape
+    reps = jnp.tile(positions, (point_multiplier, 1))
+    noise = noise_stddev * jax.random.normal(rng, reps.shape, reps.dtype)
+    expanded = jnp.concatenate([positions, reps + noise], axis=0)
+    mask = None
+    if point_mask is not None:
+        mask = jnp.concatenate([point_mask, jnp.tile(point_mask, point_multiplier)])
+    s, vid, w = st.build_structure(expanded, sigma, capacity, point_mask=mask)
+    if values is not None:
+        pad = jnp.zeros((capacity, values.shape[1]), values.dtype)
+        vals = splat(
+            jnp.concatenate([values, jnp.zeros((n * point_multiplier, values.shape[1]))]),
+            vid,
+            w,
+            capacity,
+        )
+        return s, vid, w, vals + pad
+    return s, vid, w
+
+
+def depthwise_conv(
+    values: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    weight: jnp.ndarray,
+    same_level: bool = True,
+) -> jnp.ndarray:
+    """Depthwise 1-hop lattice conv (legacy reference kernel
+    ``LatticeGPU.cuh:1174-1462``): out[v, c] = sum_k patch[v, k, c] * W[k, c]."""
+    patch = gather_neighbor_values(values, neighbors, include_center_self=same_level)
+    return jnp.einsum("vkc,kc->vc", patch, weight)
 
 
 def slice_lattice(
@@ -266,6 +319,5 @@ def slice_classify(
     valid = splat_idx < capacity
     w = jnp.where(valid, splat_weights + delta_weights, 0.0)
     sliced = jnp.sum(v * w[..., None], axis=1)  # (N, C)
-    return (
-        jnp.dot(sliced, class_weight.T, preferred_element_type=jnp.float32) + class_bias
-    )
+    acc = jnp.result_type(sliced.dtype, class_weight.dtype, jnp.float32)
+    return jnp.dot(sliced, class_weight.T, preferred_element_type=acc) + class_bias

@@ -86,6 +86,15 @@ def prepare_cloud(cloud, model_params: ModelParams):
     return positions, values, target
 
 
+def compute_class_weights(class_frequencies, background_idx: int):
+    """Inverse-log frequency class weights (``models.py:273-296``)."""
+    import jax.numpy as jnp
+
+    f = jnp.asarray(class_frequencies, jnp.float32)
+    w = 1.0 / jnp.log(1.05 + f)
+    return w.at[background_idx].set(1e-8)
+
+
 def channel_plan(p: ModelParams):
     """Static channel bookkeeping of the U-Net (``models.py:113-183``)."""
     cur = p.pointnet_start_nr_channels

@@ -442,3 +442,110 @@ class SliceFastModule(nn.Module):
         cls_w = self.param("classify_kernel", w_init, (self.nr_classes, self.in_channels))
         cls_b = self.param("classify_bias", nn.initializers.zeros, (self.nr_classes,))
         return lops.slice_classify(lv, splat_idx, splat_weights, delta, cls_w, cls_b)
+
+
+# ---------------------------------------------------------------------------
+# additional blocks for API parity with the reference module zoo
+# ---------------------------------------------------------------------------
+
+
+class SplatModule(nn.Module):
+    """Parameter-free barycentric splat (``SplatLatticeModule``,
+    ``lattice_modules.py:44-50``)."""
+
+    @nn.compact
+    def __call__(self, values, splat_idx, splat_weights, capacity):
+        return lops.splat(values, splat_idx, splat_weights, capacity)
+
+
+class SliceModule(nn.Module):
+    """Parameter-free barycentric slice (``SliceLatticeModule``,
+    ``lattice_modules.py:398-404``)."""
+
+    @nn.compact
+    def __call__(self, lv, splat_idx, splat_weights):
+        return lops.slice_lattice(lv, splat_idx, splat_weights)
+
+
+class ConvAct(nn.Module):
+    """conv -> LeakyReLU, optional channel dropout (``lattice_modules.py:908-933``)."""
+
+    in_channels: int
+    out_channels: int
+    use_bias: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, lv, neighbors, deterministic=True):
+        if self.dropout > 0.0:
+            lv = channel_dropout(self, lv, self.dropout, deterministic)
+        lv = ConvIm2Row(self.in_channels, self.out_channels, self.use_bias)(lv, neighbors)
+        return jax.nn.leaky_relu(lv, LEAKY_SLOPE)
+
+
+class TwoConv(nn.Module):
+    """Two ConvAct layers, no residual (``lattice_modules.py:1221-1253``)."""
+
+    channels: int
+    biases: Sequence[bool] = (False, False)
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, lv, neighbors, mask, deterministic=True):
+        lv = ConvAct(self.channels, self.channels, self.biases[0])(lv, neighbors)
+        return ConvAct(self.channels, self.channels, self.biases[1], self.dropout)(
+            lv, neighbors, deterministic
+        )
+
+
+class ResnetBlock2(nn.Module):
+    """ConvNeXt-style block: conv -> LayerNorm(1-group GN) -> conv -> act + skip
+    (``lattice_modules.py:1307-1333``)."""
+
+    channels: int
+    biases: Sequence[bool] = (False, False)
+
+    @nn.compact
+    def __call__(self, lv, neighbors, mask, deterministic=True):
+        identity = lv
+        lv = ConvIm2Row(self.channels, self.channels, self.biases[0])(lv, neighbors)
+        scale = self.param("ln_scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("ln_bias", nn.initializers.zeros, (self.channels,))
+        lv = masked_group_norm(lv, mask, 1, scale, bias)
+        lv = ConvIm2Row(self.channels, self.channels, self.biases[1])(lv, neighbors)
+        lv = jax.nn.leaky_relu(lv, LEAKY_SLOPE)
+        return lv + identity
+
+
+class DensenetBlock(nn.Module):
+    """Dense connectivity over GnReluConv layers (``lattice_modules.py:1363-1387``)."""
+
+    channels: int
+    nr_layers: int = 2
+
+    @nn.compact
+    def __call__(self, lv, neighbors, mask, deterministic=True):
+        stack = lv
+        outputs = []
+        for i in range(self.nr_layers):
+            new = GnReluConv(stack.shape[-1], self.channels)(stack, neighbors, mask)
+            stack = jnp.concatenate([stack, new], axis=-1)
+            outputs.append(new)
+        return jnp.concatenate(outputs, axis=-1)
+
+
+class GnReluDepthwiseConv(nn.Module):
+    """GN -> ReLU -> depthwise lattice conv (``lattice_modules.py:881-906``)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, lv, neighbors, mask, deterministic=True):
+        lv = GroupNormLattice(self.channels)(lv, mask)
+        lv = jax.nn.relu(lv)
+        pos_dim = neighbors.shape[1] // 2 - 1
+        extent = filter_extent(pos_dim)
+        w = self.param(
+            "weight", kaiming_uniform_rows(extent), (extent, self.channels)
+        )
+        return lops.depthwise_conv(lv, neighbors, w, same_level=True)
