@@ -40,6 +40,11 @@ def synthetic_kitti_scan(n_points: int, seed: int = 0) -> np.ndarray:
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs (and the driver) skip the slow
+    # remote XLA compiles entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from lattice_net_tpu.lattice.structure import build_hierarchy
