@@ -99,9 +99,17 @@ def take_rows(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dispatch(values, idx):
-    platform = jax.devices()[0].platform if jax.devices() else "cpu"
-    if platform in ("tpu", "axon"):
-        return _take_rows_impl(values, idx)
+    # The Mosaic dynamic_gather path is disabled by default: on current
+    # hardware it rejects tables spanning multiple vregs along the gather
+    # dimension ("Multiple source vregs along gather dimension").  XLA's
+    # native gather is bytes-bound at ~25 GB/s but correct; the custom VJP
+    # below still replaces the far-worse scatter-add backward.
+    import os
+
+    if os.environ.get("LNT_PALLAS_GATHER") == "1":
+        platform = jax.devices()[0].platform if jax.devices() else "cpu"
+        if platform in ("tpu", "axon"):
+            return _take_rows_impl(values, idx)
     return take_rows_reference(values, idx)
 
 
