@@ -48,18 +48,27 @@ class TrainState:
         return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def make_batch(clouds, model_params, n_points: int):
+_batch_rng = np.random.default_rng(0)
+
+
+def make_batch(clouds, model_params, n_points: int, rng: np.random.Generator | None = None):
     """Pad a list of (positions, values, target) triples to a static batch.
 
     Returns dict of stacked arrays: positions (B,N,d), values (B,N,C),
     target (B,N) int32, point_mask (B,N) bool.  The padding mask threads
     through hierarchy build (padded points create no vertices) and the loss.
+
+    Clouds larger than ``n_points`` are randomly subsampled; the module-level
+    generator advances across calls so training sees a different subset each
+    epoch (pass ``rng`` for reproducible selection).  Evaluation must NOT rely
+    on this path — use ``train.ln_eval``'s chunked full-cloud prediction.
     """
+    rng = _batch_rng if rng is None else rng
     ps, vs, ts, ms = [], [], [], []
     for positions, values, target in clouds:
         n = positions.shape[0]
         if n > n_points:
-            sel = np.random.default_rng(0).choice(n, n_points, replace=False)
+            sel = rng.choice(n, n_points, replace=False)
             positions, values, target = positions[sel], values[sel], target[sel]
             n = n_points
         pad = n_points - n

@@ -55,10 +55,34 @@ struct Loader {
   std::deque<Sample> queue;
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
-  std::atomic<size_t> next_file{0};
+  std::atomic<size_t> next_file{0};  // monotonic; never wraps
   std::atomic<bool> stop{false};
   std::atomic<int> active_workers{0};
   std::vector<std::thread> workers;
+
+  // per-epoch shuffle state (loop mode), guarded by perm_mu.  The permutation
+  // for epoch e is a deterministic function of (seed, e), so two workers
+  // regenerating it concurrently produce the same result (idempotent).
+  std::mutex perm_mu;
+  std::vector<size_t> perm;
+  size_t perm_epoch = SIZE_MAX;
+  bool reshuffle = false;
+  unsigned perm_seed = 0;
+
+  size_t file_index_for(size_t ticket) {
+    size_t n = files.size();
+    size_t epoch = ticket / n, pos = ticket % n;
+    if (!reshuffle) return pos;
+    std::lock_guard<std::mutex> lk(perm_mu);
+    if (perm_epoch != epoch) {
+      perm.resize(n);
+      for (size_t i = 0; i < n; i++) perm[i] = i;
+      std::mt19937 rng(perm_seed + 0x9e3779b9u * static_cast<unsigned>(epoch));
+      std::shuffle(perm.begin(), perm.end(), rng);
+      perm_epoch = epoch;
+    }
+    return perm[pos];
+  }
 };
 
 bool read_kitti_bin(const std::string& path, const std::string& label_path,
@@ -134,14 +158,11 @@ void worker_main(Loader* L, unsigned seed) {
   // active_workers was pre-counted in loader_create (before threads spawn)
   // so a consumer arriving early cannot observe 0 workers + empty queue.
   for (;;) {
-    size_t idx = L->next_file.fetch_add(1);
-    if (idx >= L->files.size()) {
-      if (!L->loop) break;
-      // epoch wrap: workers race on the reset; harmless since next_file is
-      // only a cursor and duplicate wraps just reshuffle the start point.
-      L->next_file.store(idx % L->files.size() + 1);
-      idx = idx % L->files.size();
-    }
+    // ticket counter is monotonic: no wrap race, every scan is visited exactly
+    // once per epoch; loop mode maps tickets through a per-epoch permutation.
+    size_t ticket = L->next_file.fetch_add(1);
+    if (!L->loop && ticket >= L->files.size()) break;
+    size_t idx = L->file_index_for(ticket);
     if (L->stop.load()) break;
 
     Sample s;
@@ -164,7 +185,12 @@ void worker_main(Loader* L, unsigned seed) {
     L->queue.push_back(s);
     L->cv_pop.notify_one();
   }
-  L->active_workers.fetch_sub(1);
+  {
+    // hold the mutex so a consumer mid-predicate cannot miss the final wake
+    // (lost-wakeup between its check of active_workers and its cv wait).
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->active_workers.fetch_sub(1);
+  }
   L->cv_pop.notify_all();
 }
 
@@ -186,7 +212,12 @@ void* loader_create(const char** paths, const char** label_paths, int n_files,
     for (int i = 0; i < n_files; i++)
       L->label_files.emplace_back(label_paths[i] ? label_paths[i] : "");
   }
-  if (shuffle) {
+  if (shuffle && L->loop) {
+    // loop mode: fresh permutation each epoch (epoch 0 included) instead of a
+    // single create-time shuffle repeated forever.
+    L->reshuffle = true;
+    L->perm_seed = seed;
+  } else if (shuffle) {
     std::mt19937 rng(seed);
     std::vector<size_t> perm(L->files.size());
     for (size_t i = 0; i < perm.size(); i++) perm[i] = i;
@@ -238,7 +269,12 @@ int loader_queue_depth(void* h) {
 
 void loader_destroy(void* h) {
   auto* L = static_cast<Loader*>(h);
-  L->stop.store(true);
+  {
+    // set stop under the mutex so threads blocked in (or entering) a cv wait
+    // observe it and cannot sleep through the notify below.
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stop.store(true);
+  }
   L->cv_push.notify_all();
   L->cv_pop.notify_all();
   for (auto& t : L->workers) t.join();
