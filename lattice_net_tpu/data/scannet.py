@@ -130,7 +130,10 @@ class ScanNet:
         if len(V) > self.max_points:
             sel = self.rng.choice(len(V), self.max_points, replace=False)
             V, C, L = V[sel], C[sel], L[sel]
-        return ToyCloud(V=V, C=C, I=np.zeros((len(V), 1), np.float32), L_gt=L)
+        scene_name = path.stem.split("_vh_clean")[0]
+        return ToyCloud(
+            V=V, C=C, I=np.zeros((len(V), 1), np.float32), L_gt=L, name=scene_name
+        )
 
     def __iter__(self):
         order = np.arange(len(self))

@@ -110,7 +110,13 @@ class SemanticKitti:
         if len(V) > self.max_points:
             sel = self.rng.choice(len(V), self.max_points, replace=False)
             V, I, L = V[sel], I[sel], L[sel]
-        return ToyCloud(V=V.astype(np.float32), C=np.zeros_like(V), I=I.astype(np.float32), L_gt=L)
+        return ToyCloud(
+            V=V.astype(np.float32),
+            C=np.zeros_like(V),
+            I=I.astype(np.float32),
+            L_gt=L,
+            name=f"{seq}/{f.stem}",
+        )
 
     def __iter__(self):
         order = np.arange(len(self))

@@ -119,7 +119,7 @@ class ShapeNetPartSeg:
             V, L = apply_transform(V, L, self.transform, self.rng)
         C = np.zeros_like(V)
         I = np.zeros((len(V), 1), np.float32)
-        return ToyCloud(V=V, C=C, I=I, L_gt=L)
+        return ToyCloud(V=V, C=C, I=I, L_gt=L, name=pts_f.stem)
 
     def __iter__(self):
         order = np.arange(len(self))

@@ -19,6 +19,9 @@ class ToyCloud:
     C: np.ndarray  # (N, 3) rgb
     I: np.ndarray  # (N, 1) intensity
     L_gt: np.ndarray  # (N, 1) labels
+    # stable identity for submission naming (e.g. "08/000123" for KITTI);
+    # empty for procedural clouds
+    name: str = ""
 
 
 def make_toy_cloud(n_points: int = 2000, nr_classes: int = 4, seed: int = 0) -> ToyCloud:

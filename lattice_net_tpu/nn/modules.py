@@ -21,6 +21,7 @@ coarsen/finefy (``:274-292``), kaiming-normal fan-in for 1x1 linears
 from __future__ import annotations
 
 import math
+from collections.abc import Mapping
 from typing import Sequence
 
 import jax
@@ -112,6 +113,44 @@ class GroupNormLattice(nn.Module):
         return masked_group_norm(lv, mask, g, scale, bias)
 
 
+class BatchNormLattice(nn.Module):
+    """BatchNorm1d over real lattice vertices (``BatchNormLatticeModule``,
+    ``lattice_modules.py:570-583``).
+
+    Statistics are computed over occupied rows only (padded rows would bias
+    them); running mean/var live in the ``batch_stats`` collection like flax
+    BatchNorm.  ``use_running_average=True`` (eval) normalises with the stored
+    statistics.
+    """
+
+    channels: int
+    momentum: float = 0.9  # torch default 0.1 "update fraction" == 0.9 decay
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, lv, mask, use_running_average: bool = False):
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.channels,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.channels,), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask[:, None].astype(lv.dtype)
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(lv * m, axis=0) / count
+            var = jnp.sum(((lv - mean) ** 2) * m, axis=0) / count
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        out = (lv - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return out
+
+
 # ---------------------------------------------------------------------------
 # linear layers
 # ---------------------------------------------------------------------------
@@ -143,6 +182,55 @@ class WNLinear(nn.Module):
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
+
+
+def fuse_weight_norm(params):
+    """Fold every weight-norm ``g`` into its direction ``v`` (forward-identical).
+
+    Port of the reference's ``fuse_wn`` (``utils/utils.py:72-158``): after
+    fusing, ``v`` *is* the effective kernel (``v' = v * g / ||v||``) and ``g``
+    is reset to ``||v'||``, so the same module applies unchanged and produces
+    bit-identical outputs — but ``v`` can now be exported/inspected as a plain
+    kernel.  Works on any params pytree; every dict holding both ``v`` and
+    ``g`` is treated as a weight-norm group.
+    """
+    import jax.numpy as jnp
+
+    def walk(node):
+        if isinstance(node, Mapping):
+            if "v" in node and "g" in node:
+                v, g = node["v"], node["g"]
+                norm = jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-12)
+                v_fused = v * (g[None, :] / norm)
+                new = dict(node)
+                new["v"] = v_fused
+                new["g"] = jnp.linalg.norm(v_fused, axis=0)
+                return new
+            return {k: walk(x) for k, x in node.items()}
+        return node
+
+    return walk(params)
+
+
+def unfuse_weight_norm(params):
+    """Re-derive ``g = ||v||`` for every weight-norm group (``utils.py:118-158``).
+
+    The inverse convention of :func:`fuse_weight_norm`: given a ``v`` that
+    holds a plain kernel (e.g. loaded from a non-WN checkpoint), set ``g`` so
+    the weight-norm forward reproduces it exactly.
+    """
+    import jax.numpy as jnp
+
+    def walk(node):
+        if isinstance(node, Mapping):
+            if "v" in node and "g" in node:
+                new = dict(node)
+                new["g"] = jnp.linalg.norm(node["v"], axis=0)
+                return new
+            return {k: walk(x) for k, x in node.items()}
+        return node
+
+    return walk(params)
 
 
 # ---------------------------------------------------------------------------

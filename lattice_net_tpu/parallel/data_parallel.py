@@ -109,7 +109,10 @@ def make_loss_fn(
         correct = (jnp.argmax(logp, -1) == target) & valid
         nr_classes = logp.shape[-1]
         inter, union = iou_counts_device(logp, target, nr_classes, ignore_index, point_mask)
-        return loss, (jnp.sum(correct), jnp.sum(valid), h.structures[0].nr_verts, inter, union)
+        overflow = sum(s.nr_overflow for s in h.structures)
+        return loss, (
+            jnp.sum(correct), jnp.sum(valid), h.structures[0].nr_verts, overflow, inter, union,
+        )
 
     def loss_fn(params, batch, rng, train=True):
         b = batch["positions"].shape[0]
@@ -117,11 +120,12 @@ def make_loss_fn(
         losses, aux = jax.vmap(
             lambda p, v, t, m, r: per_cloud(params, p, v, t, m, r, train)
         )(batch["positions"], batch["values"], batch["target"], batch["point_mask"], rngs)
-        correct, valid, nr_verts, inter, union = aux
+        correct, valid, nr_verts, overflow, inter, union = aux
         metrics = {
             "loss": jnp.mean(losses),
             "acc": jnp.sum(correct) / jnp.maximum(jnp.sum(valid), 1),
             "nr_verts_mean": jnp.mean(nr_verts),
+            "nr_overflow_mean": jnp.mean(overflow.astype(jnp.float32)),
             "iou_intersection": jnp.sum(inter, axis=0),
             "iou_union": jnp.sum(union, axis=0),
         }
@@ -134,6 +138,10 @@ def make_train_step(model, tx, sigma, nr_levels, capacities, ignore_index=-1, cl
     """Single-device (or inner, per-shard) jittable train step."""
     loss_fn = make_loss_fn(model, sigma, nr_levels, capacities, ignore_index, class_weights)
 
+    # reduce_on_plateau (and other extra-args transforms) consume the loss
+    # at update time; plain transforms must not receive the kwarg.
+    wants_value = isinstance(tx, optax.GradientTransformationExtraArgs)
+
     def train_step(state: TrainState, batch, rng, axis_name: str | None = None):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
@@ -141,7 +149,8 @@ def make_train_step(model, tx, sigma, nr_levels, capacities, ignore_index=-1, cl
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        extra = {"value": metrics["loss"]} if wants_value else {}
+        updates, opt_state = tx.update(grads, state.opt_state, state.params, **extra)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
 

@@ -222,6 +222,10 @@ class CheckpointCallback(Callback):
             return
         from lattice_net_tpu.train.checkpoint import save_checkpoint
 
+        # always refresh a rolling "last" checkpoint so a crash never loses
+        # more than one eval interval (the best-only policy of round 1 could
+        # lose everything since the last mIoU improvement).
+        save_checkpoint(self.dir / "last.ckpt", self.get_state())
         if phase.scores.update_best(phase.epoch_nr):
             miou = phase.scores.best_iou
             path = self.dir / f"model_e_{phase.epoch_nr}_{miou:.4f}.ckpt"
@@ -253,6 +257,38 @@ class TensorboardCallback(Callback):
             self.writer.add_scalar(
                 f"{phase.name}/miou", phase.scores.avg_class_iou(), phase.epoch_nr
             )
+
+
+class PlyDumpCallback(Callback):
+    """Offline stand-in for the reference's live ViewerCallback
+    (``callbacks/viewer_callback.py:15-83``): at each test-phase end, dump the
+    last sample's prediction and GT-diff clouds as PLY files under
+    ``<out_dir>/epoch_<n>/``.  Feed it per-sample data via after_forward_pass
+    kwargs ``positions``/``pred``/``target`` (hosts arrays); samples without
+    them are skipped."""
+
+    def __init__(self, out_dir, nr_classes: int, ignore_index: int = -1, every_n_epochs: int = 1):
+        self.out_dir = Path(out_dir)
+        self.nr_classes = nr_classes
+        self.ignore_index = ignore_index
+        self.every = max(1, every_n_epochs)
+        self._last = None
+
+    def after_forward_pass(self, phase=None, positions=None, pred=None, target=None, **kw):
+        if positions is not None and pred is not None:
+            self._last = (np.asarray(positions), np.asarray(pred), target)
+
+    def epoch_ended(self, phase: Phase = None, **kw):
+        if phase.grad or self._last is None or phase.epoch_nr % self.every:
+            return
+        from lattice_net_tpu.misc import viz
+
+        positions, pred, target = self._last
+        d = self.out_dir / f"epoch_{phase.epoch_nr}"
+        viz.prediction_cloud(d / "prediction.ply", positions[:, :3], pred, self.nr_classes)
+        if target is not None:
+            viz.diff_cloud(d / "diff.ply", positions[:, :3], pred, np.asarray(target), self.ignore_index)
+        self._last = None
 
 
 class TimingCallback(Callback):

@@ -3,6 +3,13 @@
 Rebuild of ``latticenet_py/ln_eval.py``: restores a checkpoint, runs the test
 split, accumulates per-class IoU, and optionally writes benchmark-server
 submissions (SemanticKITTI ``.label`` binaries / ScanNet txt predictions).
+
+Every point of every cloud is predicted: clouds larger than the static point
+budget are processed in padded chunks and the predictions stitched back, so
+submission files carry exactly one label per input point — the behaviour of
+the reference's dynamic-shape eval (``ln_eval.py:168-193``), reproduced under
+XLA's static shapes.  Outputs are named by each scan's stable identity
+(sequence/scan id), not its enumeration order.
 """
 
 from __future__ import annotations
@@ -11,6 +18,29 @@ import argparse
 from pathlib import Path
 
 import numpy as np
+
+
+def predict_cloud_chunked(predict_fn, prepared, n_points: int, model_params) -> np.ndarray:
+    """Predict labels for ALL N points using fixed-size padded forwards.
+
+    ``predict_fn(batch) -> (n_points,) int32`` is the jitted single-chunk
+    forward; clouds beyond ``n_points`` are split into consecutive chunks,
+    each with its own lattice hierarchy (receptive field is local to the
+    chunk — the closest static-shape analogue of the reference's full-cloud
+    dynamic forward).
+    """
+    from lattice_net_tpu.parallel import make_batch
+
+    positions, values, target = prepared
+    n = positions.shape[0]
+    preds = np.empty(n, np.int32)
+    for start in range(0, n, n_points):
+        stop = min(start + n_points, n)
+        chunk = (positions[start:stop], values[start:stop], target[start:stop])
+        batch = make_batch([chunk], model_params, n_points)
+        p = np.asarray(predict_fn(batch))
+        preds[start:stop] = p[: stop - start]
+    return preds
 
 
 def run(config_path: str, checkpoint: str = "", write_predictions: bool | None = None):
@@ -24,8 +54,8 @@ def run(config_path: str, checkpoint: str = "", write_predictions: bool | None =
     )
     from lattice_net_tpu.lattice.structure import build_hierarchy, default_capacity_schedule
     from lattice_net_tpu.models import LNN, prepare_cloud
-    from lattice_net_tpu.parallel import make_batch, make_loss_fn
-    from lattice_net_tpu.train.callbacks import Scores
+    from lattice_net_tpu.parallel import make_batch
+    from lattice_net_tpu.train.callbacks import Scores, iou_counts
     from lattice_net_tpu.train.checkpoint import load_checkpoint
     from lattice_net_tpu.train.ln_train import create_loader
 
@@ -65,7 +95,7 @@ def run(config_path: str, checkpoint: str = "", write_predictions: bool | None =
             print(f"restored params-only checkpoint {checkpoint}")
 
     @jax.jit
-    def predict(params, batch):
+    def _predict(params, batch):
         h = build_hierarchy(
             batch["positions"][0], sigma, mp.nr_downsamples, caps,
             point_mask=batch["point_mask"][0],
@@ -73,31 +103,40 @@ def run(config_path: str, checkpoint: str = "", write_predictions: bool | None =
         logp, _ = model.apply(params, h, batch["positions"][0], batch["values"][0])
         return jax.numpy.argmax(logp, axis=-1)
 
+    predict_fn = lambda batch: _predict(params, batch)
+
     scores = Scores()
     out_dir = Path(ep.output_predictions_path or "predictions")
-    from lattice_net_tpu.train.callbacks import iou_counts
 
     for i, cloud in enumerate(loader):
-        batch = make_batch([prepare_cloud(cloud, mp)], mp, n_points)
-        pred = np.asarray(predict(params, batch))
-        mask = np.asarray(batch["point_mask"][0])
-        target = np.asarray(batch["target"][0])
-        pred_v, target_v = pred[mask], target[mask]
-        inter, union = iou_counts(pred_v, target_v, nr_classes, ignore_index)
+        prepared = prepare_cloud(cloud, mp)
+        pred = predict_cloud_chunked(predict_fn, prepared, n_points, mp)
+        target = prepared[2]
+        assert pred.shape[0] == len(cloud.V), "one prediction per input point"
+        inter, union = iou_counts(pred, target, nr_classes, ignore_index)
         scores.accumulate(inter, union)
 
         if do_write:
+            name = cloud.name or f"{i:06d}"
             if ep.dataset_name == "semantickitti":
                 from lattice_net_tpu.data.semantic_kitti import write_kitti_label_file
 
-                write_kitti_label_file(out_dir / f"{i:06d}.label", pred_v)
+                # name is "<sequence>/<scan>"; server layout:
+                # sequences/<seq>/predictions/<scan>.label
+                seq, _, scan = name.partition("/")
+                rel = (
+                    Path("sequences") / seq / "predictions" / f"{scan}.label"
+                    if scan
+                    else Path(f"{name}.label")
+                )
+                write_kitti_label_file(out_dir / rel, pred)
             elif ep.dataset_name == "scannet":
                 from lattice_net_tpu.data.scannet import write_scannet_prediction
 
-                write_scannet_prediction(out_dir / f"scene_{i:04d}.txt", pred_v)
+                write_scannet_prediction(out_dir / f"{name}.txt", pred)
             else:
                 out_dir.mkdir(parents=True, exist_ok=True)
-                np.savetxt(out_dir / f"pred_{i:05d}.txt", pred_v, fmt="%d")
+                np.savetxt(out_dir / f"pred_{name}.txt", pred, fmt="%d")
 
     names = getattr(loader, "label_names", lambda: None)()
     miou = scores.avg_class_iou(print_per_class=True, class_names=names)

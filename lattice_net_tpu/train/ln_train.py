@@ -3,14 +3,17 @@
 TPU-native rebuild of the reference trainer (``latticenet_py/ln_train.py``):
 same config schema, phases, callbacks, sanity heuristics and loss recipe —
 but the step (hierarchy build + forward + loss + backward + optimizer) is one
-jitted XLA program with zero per-layer host syncs, batching via vmap, and
-optional data parallelism over a device mesh.
+jitted XLA program with zero per-layer host syncs, ``train.batch_size``
+clouds vmapped per step, host loading double-buffered ahead of the device,
+and optional data parallelism over every local device (``--dp``).
 """
 
 from __future__ import annotations
 
 import argparse
+import queue
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -82,7 +85,69 @@ def sanity_check(nr_verts: int, nr_points: int, capacity: int) -> None:
         )
 
 
-def run(config_path: str, max_epochs: int = 100, n_points: int = 0, eval_every: int = 1):
+def batched_clouds(loader, model_params, batch_size: int, n_points: int, drop_last: bool):
+    """Group the loader stream into lists of prepared clouds of size batch_size.
+
+    Partial tail batches are padded by repeating the first cloud with an
+    all-False point mask, so shapes stay static (the repeated cloud scores
+    zero valid points and contributes nothing to metrics).
+    """
+    from lattice_net_tpu.models import prepare_cloud
+
+    buf = []
+    for cloud in loader:
+        buf.append(prepare_cloud(cloud, model_params))
+        if len(buf) == batch_size:
+            yield buf, len(buf)
+            buf = []
+    if buf:
+        if drop_last and len(buf) < batch_size:
+            return
+        real = len(buf)
+        while len(buf) < batch_size:
+            p, v, t = buf[0]
+            buf.append((p, v, np.full_like(t, -12345)))  # mask via make_batch below
+        yield buf, real
+
+
+def prefetch_batches(generator, make, depth: int = 2):
+    """Run ``make`` over the generator in a background thread, ``depth`` ahead.
+
+    The TPU analogue of the reference's threaded C++ dataloaders: while the
+    device executes step N, the host parses/pads/uploads batch N+1.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    END = object()
+    err = []
+
+    def worker():
+        try:
+            for item in generator:
+                q.put(make(item))
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def run(
+    config_path: str,
+    max_epochs: int = 100,
+    n_points: int = 0,
+    eval_every: int = 1,
+    resume: str = "",
+    dp: bool = False,
+):
     import jax
     import jax.numpy as jnp
 
@@ -90,6 +155,11 @@ def run(config_path: str, max_epochs: int = 100, n_points: int = 0, eval_every: 
     from lattice_net_tpu.lattice.structure import build_hierarchy, default_capacity_schedule
     from lattice_net_tpu.models import LNN, prepare_cloud
     from lattice_net_tpu.parallel import TrainState, make_batch, make_loss_fn, make_train_step
+    from lattice_net_tpu.parallel.data_parallel import (
+        make_dp_train_step,
+        replicate_state,
+        shard_batch,
+    )
     from lattice_net_tpu.train import make_optimizer
     from lattice_net_tpu.train.callbacks import (
         CallbacksGroup,
@@ -99,6 +169,7 @@ def run(config_path: str, max_epochs: int = 100, n_points: int = 0, eval_every: 
         TensorboardCallback,
         TimingCallback,
     )
+    from lattice_net_tpu.train.checkpoint import load_checkpoint
 
     cfg = load_config(config_path)
     tp = TrainParams.from_config(cfg)
@@ -120,16 +191,42 @@ def run(config_path: str, max_epochs: int = 100, n_points: int = 0, eval_every: 
     if n_points <= 0:
         first = loader_train.get_cloud(0)
         n_points = 1 << int(np.ceil(np.log2(max(len(first.V), 512))))
-    print(f"n_points={n_points} caps={caps} sigma={sigma} classes={nr_classes}")
+
+    batch_size = max(1, tp.batch_size)
+    mesh = None
+    if dp:
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if batch_size % len(devices) != 0:
+            batch_size = max(len(devices), batch_size - batch_size % len(devices))
+            print(f"--dp: rounding batch_size to {batch_size} ({len(devices)} devices)")
+        mesh = Mesh(np.asarray(devices), ("dp",))
+    print(
+        f"n_points={n_points} batch={batch_size} caps={caps} sigma={sigma} "
+        f"classes={nr_classes} dp={mesh is not None}"
+    )
 
     model = LNN(mp)
-    schedule = "cosine_warm_restarts" if tp.dataset_name == "semantickitti" else "none"
-    tx = make_optimizer(tp.lr, tp.weight_decay, schedule, t0_steps=3 * len(loader_train))
+    steps_per_epoch = max(1, len(loader_train) // batch_size)
+    if tp.dataset_name == "semantickitti":
+        schedule = "cosine_warm_restarts"
+    else:
+        # reference non-KITTI path: ReduceLROnPlateau(patience=10, factor=0.1)
+        schedule = "reduce_on_plateau"
+    tx = make_optimizer(
+        tp.lr,
+        tp.weight_decay,
+        schedule,
+        t0_steps=3 * steps_per_epoch,
+        plateau_accumulation=steps_per_epoch,
+    )
 
-    def batch_of(cloud):
-        return make_batch([prepare_cloud(cloud, mp)], mp, n_points)
+    def batch_of(clouds):
+        b = make_batch(clouds, mp, n_points)
+        return shard_batch(b, mesh) if mesh is not None else b
 
-    b0 = batch_of(loader_train.get_cloud(0))
+    b0 = batch_of([prepare_cloud(loader_train.get_cloud(0), mp)] * batch_size)
     h0 = build_hierarchy(
         b0["positions"][0], sigma, mp.nr_downsamples, caps, point_mask=b0["point_mask"][0]
     )
@@ -139,7 +236,17 @@ def run(config_path: str, max_epochs: int = 100, n_points: int = 0, eval_every: 
     print(f"model parameters: {n_params:,}")
 
     state = TrainState.create(params, tx)
-    train_step = jax.jit(make_train_step(model, tx, sigma, mp.nr_downsamples, caps, ignore_index))
+    start_epoch = 0
+    if resume:
+        state = load_checkpoint(resume, state)
+        start_epoch = int(state.step) // steps_per_epoch
+        print(f"resumed {resume} at step {int(state.step)} (epoch ~{start_epoch})")
+
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+        train_step = make_dp_train_step(model, tx, mesh, sigma, mp.nr_downsamples, caps, ignore_index)
+    else:
+        train_step = jax.jit(make_train_step(model, tx, sigma, mp.nr_downsamples, caps, ignore_index))
     loss_fn = make_loss_fn(model, sigma, mp.nr_downsamples, caps, ignore_index)
     eval_step = jax.jit(lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0), False))
 
@@ -154,18 +261,28 @@ def run(config_path: str, max_epochs: int = 100, n_points: int = 0, eval_every: 
     phases = [Phase("train", loader_train, grad=True), Phase("test", loader_test, grad=False)]
     rng = jax.random.PRNGKey(1)
 
-    for epoch in range(max_epochs):
+    def mask_dummy(batch, clouds_real):
+        # tail-padding clouds (sentinel target) must not contribute: clear
+        # their point masks — every loss/metric is masked on point_mask, and
+        # targets only ever feed equality tests or clipped index lookups.
+        dummy = batch["target"][:, 0] == -12345
+        pm = batch["point_mask"] & ~dummy[:, None]
+        return dict(batch, point_mask=pm)
+
+    for epoch in range(start_epoch, max_epochs):
         for phase in phases:
             if not phase.grad and epoch % eval_every != 0:
                 continue
             cb.epoch_started(phase=phase)
             cb.phase_started(phase=phase)
-            for cloud in phase.loader:
-                batch = batch_of(cloud)
+            gen = batched_clouds(phase.loader, mp, batch_size, n_points, drop_last=False)
+            for batch, real in prefetch_batches(gen, lambda it: (batch_of(it[0]), it[1])):
+                batch = mask_dummy(batch, real)
                 if phase.grad:
                     rng, step_rng = jax.random.split(rng)
                     state, metrics = train_step(state, batch, step_rng)
                 else:
+                    # replicated params feed the plain jitted eval directly
                     _, metrics = eval_step(state.params, batch)
                 cb.after_forward_pass(
                     phase=phase,
@@ -174,6 +291,11 @@ def run(config_path: str, max_epochs: int = 100, n_points: int = 0, eval_every: 
                     union=np.asarray(metrics["iou_union"]),
                 )
             cb.phase_ended(phase=phase)
+            if phase.grad:
+                print(
+                    f"[train] lattice occupancy {int(metrics['nr_verts_mean'])}/{caps[0]} "
+                    f"overflow {metrics['nr_overflow_mean']:.1f}"
+                )
             cb.epoch_ended(phase=phase)
     return state
 
@@ -184,8 +306,10 @@ def main():
     ap.add_argument("--max-epochs", type=int, default=100)
     ap.add_argument("--n-points", type=int, default=0, help="static point budget (0 = auto)")
     ap.add_argument("--eval-every", type=int, default=1)
+    ap.add_argument("--resume", default="", help="checkpoint to restore the full TrainState from")
+    ap.add_argument("--dp", action="store_true", help="data-parallel over all local devices")
     args = ap.parse_args()
-    run(args.config, args.max_epochs, args.n_points, args.eval_every)
+    run(args.config, args.max_epochs, args.n_points, args.eval_every, args.resume, args.dp)
 
 
 if __name__ == "__main__":

@@ -52,15 +52,39 @@ def make_optimizer(
     schedule: str = "none",
     t0_steps: int = 3000,
     max_grad_norm: float | None = None,
+    plateau_patience: int = 10,
+    plateau_factor: float = 0.1,
+    plateau_accumulation: int = 1,
 ) -> optax.GradientTransformation:
-    """Build the training optimizer from config-level knobs."""
+    """Build the training optimizer from config-level knobs.
+
+    ``schedule='reduce_on_plateau'`` mirrors the reference's non-KITTI path
+    (``ln_train.py:195-197``: torch ReduceLROnPlateau(patience=10,
+    factor=0.1) stepped on the accumulated test loss).  Here it runs fully
+    on-device via ``optax.contrib.reduce_on_plateau`` fed the per-step
+    training loss, averaged over ``plateau_accumulation`` steps (set it to
+    steps-per-epoch for epoch-granularity patience like the reference).
+    The returned transformation then requires ``value=<loss>`` at update time
+    — ``make_train_step`` threads it automatically.
+    """
     if schedule == "cosine_warm_restarts":
         lr_schedule = cosine_warm_restarts(lr, t0_steps)
-    elif schedule == "none":
+    elif schedule in ("none", "reduce_on_plateau"):
         lr_schedule = lr
     else:
         raise ValueError(f"unknown schedule {schedule}")
     tx = adamw_amsgrad(lr_schedule, weight_decay)
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if schedule == "reduce_on_plateau":
+        import optax.contrib
+
+        tx = optax.chain(
+            tx,
+            optax.contrib.reduce_on_plateau(
+                patience=plateau_patience,
+                factor=plateau_factor,
+                accumulation_size=max(1, plateau_accumulation),
+            ),
+        )
     return tx
