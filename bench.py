@@ -1,17 +1,23 @@
 """Headline benchmark: per-scan inference latency at SemanticKITTI scale.
 
 Runs the flagship model (the reference's KITTI "smallernet" config, sigma
-0.6) on a synthetic LiDAR-like scan of 2^17 points — the scale of a real
-SemanticKITTI sweep (~120k points, ~10-40k lattice vertices; reference
-``config/lnn_train_semantic_kitti.cfg:62-71``) — end to end: lattice
-hierarchy build + U-Net forward + slice-classify, jitted as one XLA program.
+0.6) on a procedurally generated LiDAR scan of 2^17 points — beam-ring
+sampling calibrated so level-0 occupancy lands at the reference's expected
+scale (~10-30k vertices at sigma 0.6-1.0, occupancy < 25% of capacity;
+``/root/reference/config/lnn_train_semantic_kitti.cfg:63``).  Round 1's
+uniform synthetic scan saturated the table (65536/65536), which both dropped
+vertices and made the latency unrepresentative.
+
+End to end per scan: lattice hierarchy build + U-Net forward +
+slice-classify, jitted as one XLA program.  Chained iterations thread a data
+dependency so the runtime cannot skip or overlap repeats.
 
 Baseline: the reference paper reports real-time-capable inference on a single
 consumer GPU; the in-repo kernel timing note (``LatticeGPU.cuh:897``) and the
 RSS'20 paper place a full forward at ~55 ms/scan on the GPUs of record.
 ``vs_baseline`` = ours_ms / 55.0 (lower is better).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -23,19 +29,10 @@ BASELINE_MS = 55.0
 
 
 def synthetic_kitti_scan(n_points: int, seed: int = 0) -> np.ndarray:
-    """LiDAR-like scan: points on concentric rings with ground + structure."""
-    rng = np.random.default_rng(seed)
-    r = rng.uniform(2.0, 50.0, n_points) ** 0.8 * (50.0 ** 0.2)
-    theta = rng.uniform(0, 2 * np.pi, n_points)
-    x = r * np.cos(theta)
-    y = r * np.sin(theta)
-    ground = rng.random(n_points) < 0.6
-    z = np.where(
-        ground,
-        rng.normal(-1.6, 0.05, n_points),
-        rng.uniform(-1.5, 4.0, n_points),
-    )
-    return np.stack([x, y, z], axis=1).astype(np.float32)
+    """Beam-ring LiDAR scan (see lattice_net_tpu.data.synth_kitti)."""
+    from lattice_net_tpu.data.synth_kitti import make_scene
+
+    return make_scene(n_points, seed=seed).V
 
 
 def main():
@@ -63,6 +60,12 @@ def main():
     )
     sigma = 0.6
     n_points = 1 << 17  # 131072, a full KITTI sweep
+    # ~47% / ~35% / ~11% occupancy.  Unlike the reference's open-addressing
+    # hash table (whose probe chains degrade past ~25% load — its sanity rule),
+    # the sort-based table has NO collision cost: capacity is pure headroom,
+    # and the overflow counters below are the real guard.  2.1x headroom over
+    # the measured vertex count matches the reference's KITTI margin (100k
+    # capacity for ~10-30k vertices, lnn_train_semantic_kitti.cfg:62-71).
     caps = (1 << 16, 1 << 15, 1 << 14)
 
     positions = jnp.asarray(synthetic_kitti_scan(n_points))
@@ -86,9 +89,8 @@ def main():
     # compile + warmup
     pred, positions = forward_chain(params, positions, values)
     pred.block_until_ready()
-    print(
-        f"# lattice occupancy: {int(build_hierarchy(positions, sigma, mp.nr_downsamples, caps).structures[0].nr_verts)} / {caps[0]} vertices"
-    )
+    occ = [int(s.nr_verts) for s in build_hierarchy(positions, sigma, mp.nr_downsamples, caps).structures]
+    print(f"# lattice occupancy per level: {occ} / {list(caps)}")
 
     k = 30
     t0 = time.perf_counter()
@@ -104,6 +106,9 @@ def main():
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(ms / BASELINE_MS, 4),
+                "n_points": n_points,
+                "occupancy": occ,
+                "capacities": list(caps),
             }
         )
     )

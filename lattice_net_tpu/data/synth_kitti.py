@@ -1,0 +1,154 @@
+"""Procedural LiDAR-like segmentation scenes (SemanticKITTI stand-in).
+
+This environment has no network egress and no mounted datasets, so the
+real-data loaders (``semantic_kitti.py`` etc.) cannot be exercised end to
+end.  This module provides the honest substitute: procedurally generated
+street scenes with KITTI-like geometry — a rotating-scanner sampling pattern
+(rings, 1/r^2 density falloff, range-dependent noise), a ground plane with
+curbs, box buildings, cylinder poles/trunks, ellipsoid vegetation, and box
+vehicles — labeled into 6 classes.  Deterministic per (seed, index); train /
+val splits use disjoint seed ranges.
+
+It doubles as the bench scan generator: the default parameters are
+calibrated so a 131k-point scan at sigma 0.6 splats ~20-30k level-0 lattice
+vertices, matching the reference's occupancy expectations for real KITTI
+(``config/lnn_train_semantic_kitti.cfg:63``: "splat around 10k with sigma of
+1") — round 1's uniform synthetic scan saturated the table and invalidated
+the latency number.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lattice_net_tpu.data.toy import ToyCloud
+
+CLASS_NAMES = ["ground", "building", "pole", "vegetation", "vehicle", "fence"]
+NR_CLASSES = len(CLASS_NAMES)
+
+
+def _scanner_sample(rng, n, max_range=50.0, nr_beams: int = 64, sensor_height: float = 1.73):
+    """Azimuth/beam pattern of a rotating multi-beam scanner.
+
+    Elevation is quantised into ``nr_beams`` discrete angles (like a HDL-64),
+    so ground returns fall on concentric RINGS rather than covering the disk
+    uniformly — this is what keeps real-KITTI lattice occupancy at ~10-30k
+    vertices for sigma 0.6-1.0 instead of saturating the table (the round-1
+    bench's mistake).
+    """
+    az = rng.uniform(0, 2 * np.pi, n)
+    beam = rng.integers(0, nr_beams, n)
+    # HDL-64-ish: -24.8 deg .. +2 deg
+    elev = np.deg2rad(-24.8 + 26.8 * beam / (nr_beams - 1)) + rng.normal(0, 2e-4, n)
+    # range of the ground return for down-pointing beams; far cap otherwise
+    down = elev < np.deg2rad(-1.0)
+    r_ground = np.where(down, sensor_height / np.tan(np.maximum(-elev, 1e-3)), max_range)
+    r = np.clip(r_ground + rng.normal(0, 0.02, n), 2.0, max_range)
+    return az, r
+
+
+def make_scene(n_points: int = 131072, seed: int = 0, max_range: float = 50.0) -> ToyCloud:
+    rng = np.random.default_rng(seed)
+    az, r = _scanner_sample(rng, n_points, max_range)
+    x, y = r * np.cos(az), r * np.sin(az)
+    z = np.full(n_points, -1.6)
+    label = np.zeros(n_points, np.int64)  # ground
+
+    # gentle ground undulation + road noise
+    z += 0.3 * np.sin(x * 0.05) * np.cos(y * 0.04) + rng.normal(0, 0.02, n_points)
+
+    def claim(mask, new_z, cls):
+        z[mask] = new_z[mask] if isinstance(new_z, np.ndarray) else new_z
+        label[mask] = cls
+
+    # buildings: boxes along both sides of a road corridor
+    for _ in range(rng.integers(6, 12)):
+        cx = rng.uniform(-45, 45)
+        cy = rng.choice([-1, 1]) * rng.uniform(8, 40)
+        w, d, h = rng.uniform(6, 18), rng.uniform(6, 18), rng.uniform(4, 14)
+        near = (np.abs(x - cx) < w / 2) & (np.abs(y - cy) < d / 2)
+        # points hitting the facade: project onto walls with height profile
+        wall = near & (rng.random(n_points) < 0.85)
+        claim(wall, -1.6 + np.mod(r * 7.3, 1.0) * h, 1)
+
+    # poles / trunks: thin-ish cylinders (radius large enough that ring
+    # sampling still hits them — real scans hit poles via dedicated returns)
+    for _ in range(rng.integers(20, 35)):
+        cx, cy = rng.uniform(-35, 35), rng.uniform(-35, 35)
+        h = rng.uniform(2, 7)
+        near = (x - cx) ** 2 + (y - cy) ** 2 < rng.uniform(0.25, 0.5) ** 2
+        claim(near, -1.6 + np.mod(r * 11.7, 1.0) * h, 2)
+
+    # vegetation: ellipsoidal canopies
+    for _ in range(rng.integers(10, 20)):
+        cx, cy = rng.uniform(-45, 45), rng.uniform(-45, 45)
+        rad = rng.uniform(1.5, 4.0)
+        cz = rng.uniform(0.5, 3.0)
+        d2 = (x - cx) ** 2 + (y - cy) ** 2
+        near = d2 < rad**2
+        lift = cz + np.sqrt(np.maximum(rad**2 - d2, 0)) * rng.uniform(0.4, 1.0)
+        claim(near & (rng.random(n_points) < 0.7), -1.6 + lift + rng.normal(0, 0.15, n_points), 3)
+
+    # vehicles: low boxes on the road
+    for _ in range(rng.integers(4, 10)):
+        cx, cy = rng.uniform(-40, 40), rng.uniform(-6, 6)
+        near = (np.abs(x - cx) < 2.2) & (np.abs(y - cy) < 1.0)
+        claim(near, -1.6 + np.mod(r * 5.1, 1.0) * 1.5, 4)
+
+    # fences: thin long boxes
+    for _ in range(rng.integers(2, 6)):
+        cy = rng.choice([-1, 1]) * rng.uniform(5, 20)
+        x0, x1 = sorted(rng.uniform(-45, 45, 2))
+        near = (x > x0) & (x < x1) & (np.abs(y - cy) < 0.15)
+        claim(near, -1.6 + np.mod(r * 9.1, 1.0) * 1.2, 5)
+
+    # range-dependent measurement noise
+    sigma_noise = 0.01 + 0.0006 * r
+    V = np.stack([x, y, z], axis=1) + rng.normal(0, sigma_noise[:, None], (n_points, 3))
+    intensity = (0.2 + 0.8 * rng.random(n_points))[:, None]
+
+    return ToyCloud(
+        V=V.astype(np.float32),
+        C=np.zeros((n_points, 3), np.float32),
+        I=intensity.astype(np.float32),
+        L_gt=label.reshape(-1, 1).astype(np.int32),
+        name=f"{seed:06d}",
+    )
+
+
+class SynthKitti:
+    """Loader-shaped dataset of procedural scenes (train/val by seed range)."""
+
+    nr_classes = NR_CLASSES
+    ignore_index = -1
+
+    def __init__(
+        self,
+        mode: str = "train",
+        nr_samples: int = 40,
+        n_points: int = 131072,
+        max_range: float = 50.0,
+        do_overfit: bool = False,
+        seed: int = 0,
+    ):
+        self.mode = mode
+        self.nr_samples = 1 if do_overfit else nr_samples
+        self.n_points = n_points
+        self.max_range = max_range
+        self.do_overfit = do_overfit
+        self.base_seed = seed + (0 if mode == "train" else 100_000)
+
+    def __len__(self):
+        return self.nr_samples
+
+    def get_cloud(self, idx: int) -> ToyCloud:
+        if self.do_overfit:
+            idx = 0
+        return make_scene(self.n_points, seed=self.base_seed + idx, max_range=self.max_range)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.get_cloud(i)
+
+    def label_names(self):
+        return CLASS_NAMES

@@ -49,11 +49,13 @@ from lattice_net_tpu.lattice import permutohedral
 __all__ = [
     "LatticeStructure",
     "LatticeHierarchy",
+    "EdgeSort",
     "filter_extent",
     "build_structure",
     "build_neighbors_same_level",
     "build_neighbors_coarse_from_fine",
     "build_neighbors_fine_from_coarse",
+    "finefy_from_coarsen_transpose",
     "build_hierarchy",
 ]
 
@@ -149,6 +151,65 @@ class LatticeStructure:
         found = in_range & jnp.all(rows == query_keys, axis=-1)
         return jnp.where(found, pos, c).astype(jnp.int32)
 
+    def merge_lookup(self, query_keys: jnp.ndarray) -> jnp.ndarray:
+        """Batch lookup via ONE stable sort instead of log2(cap) gather rounds.
+
+        Same contract as :meth:`lookup` (misses -> capacity), but built for
+        large query sets: concatenate [table keys, query keys] with position
+        payloads, stable-sort (table rows come first so they precede equal
+        queries), then the running max of seen table-row ids at each sorted
+        position IS the lower-bound candidate for every query — one scan +
+        one verification gather instead of 17 dependent binary-search rounds
+        (the top cost of the round-1 hierarchy build).
+        """
+        c, d = self.keys.shape
+        shape = query_keys.shape[:-1]
+        q = query_keys.reshape(-1, d)
+        nq = q.shape[0]
+
+        keys_all = jnp.concatenate([self.keys, q], axis=0)
+        payload = jnp.arange(c + nq, dtype=jnp.int32)
+        cols = tuple(keys_all[:, i] for i in range(d))
+        sorted_ = lax.sort(cols + (payload,), num_keys=d, is_stable=True)
+        sid = sorted_[d]
+
+        # last table row at-or-before each position (table ids ascend with key)
+        last_table = lax.cummax(jnp.where(sid < c, sid, -1))
+        cand = jnp.maximum(last_table, 0)
+        tkeys = jnp.take(self.keys, cand, axis=0)
+        skeys = jnp.stack(sorted_[:d], axis=-1)
+        eq = jnp.all(tkeys == skeys, axis=-1) & (last_table >= 0)
+        res = jnp.where(eq, cand, c).astype(jnp.int32)
+
+        qslot = jnp.where(sid >= c, sid - c, nq)
+        out = jnp.zeros((nq,), jnp.int32).at[qslot].set(res, mode="drop")
+        return out.reshape(shape)
+
+
+@struct.dataclass
+class EdgeSort:
+    """The (point, simplex-vertex) edges of level 0, sorted by vertex id.
+
+    ``build_structure`` sorts all N*(d+1) edge keys to dedup vertices; since
+    vertex ids are assigned in sorted-key order, that same order IS
+    sorted-by-vertex order.  Capturing it here lets every downstream segment
+    reduction (splat, local-mean, PointNet max-pool) run sort-free as a
+    cumsum/scan over contiguous runs — the argsort the generic segment ops
+    would redo per call (18.7 ms each at KITTI scale, round-1 profile) is
+    paid once, inside the structure build that already sorts.
+    """
+
+    # sorted position -> original flat edge index (edge e = point e//(d+1)).
+    perm: jnp.ndarray  # (M,) int32
+    # vertex id per sorted position; nondecreasing, invalid/overflow = cap.
+    vertex: jnp.ndarray  # (M,) int32
+    # last sorted position of each vertex's run; -1 for rows >= nr_verts.
+    # Runs are dense and ordered (every vertex was created by these edges),
+    # so starts[v] = ends[v-1] + 1 and counts[v] = ends[v] - ends[v-1].
+    ends: jnp.ndarray  # (capacity,) int32
+    # barycentric weight per sorted edge.
+    weights: jnp.ndarray  # (M,) float32
+
 
 @struct.dataclass
 class LatticeHierarchy:
@@ -176,6 +237,9 @@ class LatticeHierarchy:
     splat_weights: jnp.ndarray
     # validity of each input point, (N,) bool (False for padding).
     point_mask: jnp.ndarray
+    # level-0 edges in sorted-by-vertex order (see EdgeSort); None only for
+    # hierarchies built by very old callers.
+    edges: Any = None
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +253,7 @@ def build_structure(
     capacity: int,
     lvl: int = 0,
     point_mask: jnp.ndarray | None = None,
+    with_edges: bool = False,
 ):
     """Build one lattice level from raw positions.
 
@@ -253,7 +318,24 @@ def build_structure(
         pos_dim=d,
         lvl=lvl,
     )
-    return structure, vid.reshape(n, d + 1), bary
+    if not with_edges:
+        return structure, vid.reshape(n, d + 1), bary
+
+    # capture the sorted-edge machinery for sort-free segment reductions
+    is_last = jnp.concatenate([differs, jnp.ones((1,), bool)]) & svalid
+    ends_ids = jnp.where(is_last & (uid_sorted < capacity), uid_sorted, capacity)
+    ends = (
+        jnp.full((capacity + 1,), -1, jnp.int32)
+        .at[ends_ids]
+        .max(jnp.arange(m, dtype=jnp.int32), mode="drop")[:capacity]
+    )
+    edges = EdgeSort(
+        perm=order.astype(jnp.int32),
+        vertex=uid_ok.astype(jnp.int32),
+        ends=ends,
+        weights=bary.reshape(m)[order],
+    )
+    return structure, vid.reshape(n, d + 1), bary, edges
 
 
 @functools.lru_cache(maxsize=None)
@@ -287,15 +369,35 @@ def build_neighbors_same_level(structure: LatticeStructure) -> jnp.ndarray:
 
     The centre vertex is the row itself and is not stored.  Rows beyond
     ``nr_verts`` get all-invalid entries.
+
+    Only the '+' moves are resolved by (binary-search) lookup; the '-' moves
+    follow by symmetry — ``u = v + m_a  <=>  v = u - m_a`` — via one scatter,
+    halving the lookup volume (lookups were the top cost of the round-1
+    hierarchy build).
     """
     d = structure.pos_dim
+    cap = structure.capacity
     moves = jnp.asarray(_axis_moves_np(d))  # (d+1, d)
     keys = structure.keys  # (C, d)
-    idx_p = structure.lookup(keys[:, None, :] + moves[None])  # (C, d+1)
-    idx_m = structure.lookup(keys[:, None, :] - moves[None])
-    nbr = _interleave_neighbors(idx_p, idx_m)
     occ = structure.occupancy_mask()[:, None]
-    return jnp.where(occ, nbr, structure.capacity)
+    idx_p = structure.merge_lookup(keys[:, None, :] + moves[None])  # (C, d+1)
+    idx_p = jnp.where(occ, idx_p, cap)
+
+    # reciprocal '-' table: idx_m[u, a] = v wherever idx_p[v, a] = u.  Each
+    # (u, a) has at most one v (v's key is u's key minus the move), so the
+    # scatter never collides; misses land in the sentinel row cap.
+    d1 = d + 1
+    v_ids = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32)[:, None], (cap, d1))
+    cols = jnp.broadcast_to(jnp.arange(d1, dtype=jnp.int32)[None, :], (cap, d1))
+    flat = idx_p * d1 + cols  # idx_p == cap rows into the sentinel block
+    idx_m = (
+        jnp.full(((cap + 1) * d1,), cap, dtype=jnp.int32)
+        .at[flat.reshape(-1)]
+        .set(v_ids.reshape(-1), mode="drop")
+        .reshape(cap + 1, d1)[:cap]
+    )
+    nbr = _interleave_neighbors(idx_p, idx_m)
+    return jnp.where(occ, nbr, cap)
 
 
 def build_neighbors_coarse_from_fine(
@@ -311,9 +413,14 @@ def build_neighbors_coarse_from_fine(
     d = coarse.pos_dim
     moves = jnp.asarray(_axis_moves_np(d))
     base = coarse.keys * 2  # (C, d)
-    idx_p = fine.lookup(base[:, None, :] + moves[None])
-    idx_m = fine.lookup(base[:, None, :] - moves[None])
-    center = fine.lookup(base)  # (C,)
+    # one merged lookup for all 2(d+1)+1 candidate keys
+    cand = jnp.concatenate(
+        [base[:, None, :] + moves[None], base[:, None, :] - moves[None], base[:, None, :]],
+        axis=1,
+    )  # (C, 2(d+1)+1, d) in [+moves..., -moves..., centre] order
+    idx = fine.merge_lookup(cand)
+    d1 = d + 1
+    idx_p, idx_m, center = idx[:, :d1], idx[:, d1 : 2 * d1], idx[:, 2 * d1]
     nbr = jnp.concatenate([_interleave_neighbors(idx_p, idx_m), center[:, None]], axis=-1)
     occ = coarse.occupancy_mask()[:, None]
     return jnp.where(occ, nbr, fine.capacity)
@@ -353,6 +460,40 @@ def build_neighbors_fine_from_coarse(
     return jnp.where(occ, nbr, coarse.capacity)
 
 
+def finefy_from_coarsen_transpose(
+    coarsen_table: jnp.ndarray, cap_fine: int, cap_coarse: int
+) -> jnp.ndarray:
+    """Derive the finefy table as the exact transpose of the coarsen table.
+
+    Identity: finefy[f][+a] = c  <=>  f_key = 2*c_key - m_a  <=>
+    coarsen[c][-a] = f (and centre <-> centre) — so the 2(d+1)+1 lookups per
+    fine vertex of :func:`build_neighbors_fine_from_coarse` (the single
+    largest lookup volume in the round-1 hierarchy build: 9*cap_fine binary
+    searches) collapse into one scatter of the already-built coarsen table
+    with '+'/'-' slots swapped.  Each (f, slot) target has at most one source
+    (the coarse key is determined by the fine key and the move), so the
+    scatter is collision-free.
+    """
+    cc, extent = coarsen_table.shape  # extent = 2(d+1)+1
+    d1 = (extent - 1) // 2
+    # slot permutation on the source side: 2a <-> 2a+1, centre last unchanged
+    swap = np.arange(extent)
+    swap[0 : 2 * d1 : 2] = np.arange(extent)[1 : 2 * d1 : 2]
+    swap[1 : 2 * d1 : 2] = np.arange(extent)[0 : 2 * d1 : 2]
+    src = coarsen_table[:, swap]  # (C_coarse, extent), fine ids
+
+    c_ids = jnp.broadcast_to(jnp.arange(cc, dtype=jnp.int32)[:, None], (cc, extent))
+    cols = jnp.broadcast_to(jnp.arange(extent, dtype=jnp.int32)[None, :], (cc, extent))
+    flat = src * extent + cols  # src == cap_fine rows land in the sentinel block
+    out = (
+        jnp.full(((cap_fine + 1) * extent,), cap_coarse, dtype=jnp.int32)
+        .at[flat.reshape(-1)]
+        .set(c_ids.reshape(-1), mode="drop")
+        .reshape(cap_fine + 1, extent)[:cap_fine]
+    )
+    return out
+
+
 def default_capacity_schedule(capacity: int, nr_levels: int, minimum: int = 256) -> tuple:
     """Halve capacity per coarsening level (vertex counts shrink ~2^d per level)."""
     return tuple(max(minimum, capacity >> lvl) for lvl in range(nr_levels + 1))
@@ -388,22 +529,30 @@ def build_hierarchy(
     sigma = jnp.broadcast_to(jnp.asarray(sigma, positions.dtype), (d,))
 
     structures = []
-    splat_idx = splat_w = None
+    splat_idx = splat_w = edges = None
     for lvl in range(nr_levels + 1):
-        s, vid, bw = build_structure(
-            positions, sigma * (2.0**lvl), int(capacities[lvl]), lvl=lvl, point_mask=point_mask
+        out = build_structure(
+            positions,
+            sigma * (2.0**lvl),
+            int(capacities[lvl]),
+            lvl=lvl,
+            point_mask=point_mask,
+            with_edges=(lvl == 0),
         )
-        structures.append(s)
+        structures.append(out[0])
         if lvl == 0:
-            splat_idx, splat_w = vid, bw
+            _, splat_idx, splat_w, edges = out
 
     neighbors_same = tuple(build_neighbors_same_level(s) for s in structures)
     neighbors_coarsen = tuple(
         build_neighbors_coarse_from_fine(structures[i + 1], structures[i])
         for i in range(nr_levels)
     )
+    # finefy tables are free: exact transposes of the coarsen tables
     neighbors_finefy = tuple(
-        build_neighbors_fine_from_coarse(structures[i], structures[i + 1])
+        finefy_from_coarsen_transpose(
+            neighbors_coarsen[i], structures[i].capacity, structures[i + 1].capacity
+        )
         for i in range(nr_levels)
     )
 
@@ -415,4 +564,5 @@ def build_hierarchy(
         splat_idx=splat_idx,
         splat_weights=splat_w,
         point_mask=point_mask,
+        edges=edges,
     )

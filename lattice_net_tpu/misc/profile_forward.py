@@ -126,6 +126,22 @@ def main():
         f_segmax, edge_vals, edge_idx
     )
 
+    # --- stage 3b: forward internals (sorted-edge path) -----------------------
+    f_dist = jax.jit(lambda p, v: ops.distribute_sorted(p, v, h.edges, caps[0])[0])
+    rows["distribute_sorted (524k rows)"] = _timeit(f_dist, positions, values)
+
+    rows_arr = f_dist(positions, values)
+    f_segmax = jax.jit(
+        lambda r: ops.seg_max_sorted(r[:, :-1], r[:, -1], h.edges, caps[0])[0]
+    )
+    rows["seg_max_sorted (524k x 4)"] = _timeit(f_segmax, rows_arr)
+    f_segsum = jax.jit(lambda r: ops.seg_sum_sorted(r, h.edges, caps[0]))
+    rows["seg_sum_sorted (524k x 5)"] = _timeit(f_segsum, rows_arr)
+
+    vals_head = jnp.asarray(np.random.default_rng(3).normal(size=(caps[0], 8)), jnp.float32)
+    f_gatherl = jax.jit(lambda v: ops.gather_lattice(v, h.splat_idx, h.splat_weights))
+    rows[f"gather_lattice head ({n_points} pts x 8ch)"] = _timeit(f_gatherl, vals_head)
+
     # --- stage 4: model forward given a prebuilt hierarchy -------------------
     f_fwd = jax.jit(lambda params, h, p, v: model.apply(params, h, p, v)[0])
     rows["LNN forward (prebuilt hierarchy)"] = _timeit(f_fwd, params, h, positions, values)

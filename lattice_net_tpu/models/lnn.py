@@ -125,15 +125,17 @@ class LNN(nn.Module):
         masks = [s.occupancy_mask() for s in h.structures]
 
         # --- distribute (no learnable params; reference runs it under no_grad,
-        # models.py:198-199 — inputs are leaves here so that is automatic)
-        rows, edge_idx = lnm.distribute_module(
-            positions, values, h.splat_idx, h.splat_weights, cap0, point_mask=h.point_mask
-        )
+        # models.py:198-199 — inputs are leaves here so that is automatic).
+        # Rows are emitted in sorted-by-vertex edge order so the PointNet
+        # reductions below are sort-free run reductions (structure.EdgeSort).
+        from lattice_net_tpu.lattice import ops as lops
+
+        rows_sorted, _ = lops.distribute_sorted(positions, values, h.edges, cap0)
 
         # --- pointnet featuriser
         lv = lnm.PointNetModule(
             tuple(p.pointnet_channels_per_layer), p.pointnet_start_nr_channels
-        )(rows, edge_idx, cap0, h.neighbors_same[0], masks[0])
+        )(rows_sorted, h.edges, cap0, h.neighbors_same[0], masks[0])
 
         down_plan, up_plan, final_channels = channel_plan(p)
 

@@ -439,8 +439,10 @@ class PointNetModule(nn.Module):
     ``PointNetModule`` (``lattice_modules.py:618-733``): the winning edge's
     barycentric weight is concatenated per channel; simplices receiving fewer
     than ``min_points`` points are zeroed; the final WN conv mixes 1-hop
-    neighbours.  Deviation from the reference: invalid edges are dropped by
-    index masking instead of routing them to a sacrificial vertex row 0.
+    neighbours.  Deviations from the reference: invalid edges are dropped by
+    index masking instead of routing them to a sacrificial vertex row 0, and
+    the max pool runs over pre-sorted edges (see structure.EdgeSort) so no
+    per-call sort/argsort is needed.
     """
 
     channels_per_layer: Sequence[int]
@@ -448,22 +450,18 @@ class PointNetModule(nn.Module):
     min_points: int = 4
 
     @nn.compact
-    def __call__(self, rows, edge_idx, capacity, neighbors, mask):
-        bary = rows[:, -1]
-        feats = rows[:, :-1]
+    def __call__(self, rows_sorted, edges, capacity, neighbors, mask):
+        bary = rows_sorted[:, -1]
+        feats = rows_sorted[:, :-1]
         for c in self.channels_per_layer:
             feats = WNLinear(c)(feats)
             feats = jax.nn.leaky_relu(feats, LEAKY_SLOPE)
 
-        maxed, argsrc = lops.segment_max_with_src(feats, edge_idx, capacity)
-        m = rows.shape[0]
-        bary_red = jnp.take(bary, jnp.minimum(argsrc, m - 1), axis=0)
-        bary_red = jnp.where(argsrc < m, bary_red, 0.0)
+        maxed, bary_red = lops.seg_max_sorted(feats, bary, edges, capacity)
         lv = jnp.concatenate([maxed, bary_red], axis=-1)  # (capacity, 2C)
 
-        ones = jnp.ones((m, 1), dtype=feats.dtype)
-        count = lops.segment_sum(ones, edge_idx, capacity)
-        lv = jnp.where(count >= self.min_points, lv, 0.0)
+        count = lops.seg_counts_sorted(edges, capacity)
+        lv = jnp.where((count >= self.min_points)[:, None], lv, 0.0)
 
         lv = ConvIm2Row(
             2 * self.channels_per_layer[-1], self.out_channels, use_bias=True, weight_norm=True

@@ -122,7 +122,15 @@ def _take_rows_bwd(res, g):
     idx, cap, proto = res
     # clamped gathers read row cap-1, so the VJP accumulates there too —
     # callers that mask invalid rows produce zero cotangent for them anyway.
-    dvalues = _sorted_segment_sum(jnp.minimum(idx, cap - 1), g, cap).astype(proto.dtype)
+    # Plain XLA scatter-add: chained-dispatch measurement on v5e shows it
+    # 2.4x faster than the sort+scan path (10.0 vs 24.2 ms at 524k x 32);
+    # round 1 picked sort+scan off an unchained (dedup-skewed) timing.
+    dvalues = (
+        jnp.zeros((cap,) + g.shape[1:], jnp.float32)
+        .at[jnp.minimum(idx, cap - 1)]
+        .add(g.astype(jnp.float32))
+        .astype(proto.dtype)
+    )
     return dvalues, None
 
 

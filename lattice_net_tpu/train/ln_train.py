@@ -33,6 +33,17 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
             n_points=int(l.get("n_points", 2000)),
             do_overfit=bool(l.get("do_overfit", False)),
         )
+    if dataset_name == "synthkitti":
+        from lattice_net_tpu.data.synth_kitti import SynthKitti
+
+        l = cfg.get("loader_synth_kitti", {})
+        return SynthKitti(
+            mode=mode,
+            nr_samples=int(l.get("nr_samples", 40)),
+            n_points=int(l.get("n_points", 131072)),
+            max_range=float(l.get("max_range", 50.0)),
+            do_overfit=bool(l.get("do_overfit", False)),
+        )
     if dataset_name == "shapenet":
         from lattice_net_tpu.data.shapenet import ShapeNetPartSeg
 

@@ -1,0 +1,186 @@
+"""Equivalence tests: sorted-edge segment ops and scatter-derived neighbor
+tables must match the round-1 reference implementations exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lattice_net_tpu.lattice import ops
+from lattice_net_tpu.lattice.structure import (
+    build_hierarchy,
+    build_structure,
+    build_neighbors_fine_from_coarse,
+    finefy_from_coarsen_transpose,
+    _axis_moves_np,
+    _interleave_neighbors,
+)
+
+
+@pytest.fixture(scope="module")
+def hier():
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.uniform(-2, 2, (600, 3)), jnp.float32)
+    mask = jnp.asarray(np.arange(600) < 550)
+    h = build_hierarchy(pos, 0.25, 2, (1024, 512, 256), point_mask=mask)
+    return pos, mask, h
+
+
+def _legacy_same_level(structure):
+    """Round-1 builder: one lookup per +/- move (the oracle)."""
+    d = structure.pos_dim
+    moves = jnp.asarray(_axis_moves_np(d))
+    keys = structure.keys
+    idx_p = structure.lookup(keys[:, None, :] + moves[None])
+    idx_m = structure.lookup(keys[:, None, :] - moves[None])
+    nbr = _interleave_neighbors(idx_p, idx_m)
+    occ = structure.occupancy_mask()[:, None]
+    return jnp.where(occ, nbr, structure.capacity)
+
+
+def test_symmetric_same_level_matches_direct_lookup(hier):
+    _, _, h = hier
+    for lvl, s in enumerate(h.structures):
+        direct = np.asarray(_legacy_same_level(s))
+        new = np.asarray(h.neighbors_same[lvl])
+        np.testing.assert_array_equal(new, direct, err_msg=f"level {lvl}")
+
+
+def test_finefy_transpose_matches_direct_lookup(hier):
+    _, _, h = hier
+    for i in range(2):
+        direct = np.asarray(
+            build_neighbors_fine_from_coarse(h.structures[i], h.structures[i + 1])
+        )
+        via_t = np.asarray(
+            finefy_from_coarsen_transpose(
+                h.neighbors_coarsen[i], h.structures[i].capacity, h.structures[i + 1].capacity
+            )
+        )
+        np.testing.assert_array_equal(via_t, direct, err_msg=f"pair {i}")
+
+
+def test_edges_consistent_with_splat_idx(hier):
+    _, _, h = hier
+    e = h.edges
+    m = e.perm.shape[0]
+    # the permutation rebuilds the original per-point splat ids
+    vid_orig = np.zeros(m, np.int32)
+    vid_orig[np.asarray(e.perm)] = np.asarray(e.vertex)
+    np.testing.assert_array_equal(vid_orig.reshape(-1, 4), np.asarray(h.splat_idx))
+    # weights likewise
+    w_orig = np.zeros(m, np.float32)
+    w_orig[np.asarray(e.perm)] = np.asarray(e.weights)
+    np.testing.assert_allclose(w_orig.reshape(-1, 4), np.asarray(h.splat_weights), rtol=1e-6)
+    # vertex ids nondecreasing in sorted order
+    v = np.asarray(e.vertex)
+    assert np.all(np.diff(v) >= 0)
+
+
+def test_seg_sum_sorted_matches_segment_sum(hier):
+    _, _, h = hier
+    e = h.edges
+    cap = h.structures[0].capacity
+    m = e.perm.shape[0]
+    rng = np.random.default_rng(1)
+    vals_orig = jnp.asarray(rng.normal(size=(m, 5)), jnp.float32)
+    ref = ops.segment_sum(vals_orig, h.splat_idx.reshape(-1), cap)
+    got = ops.seg_sum_sorted(jnp.take(vals_orig, e.perm, axis=0), e, cap)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_seg_counts_and_mean_sorted(hier):
+    _, _, h = hier
+    e = h.edges
+    cap = h.structures[0].capacity
+    m = e.perm.shape[0]
+    ids = h.splat_idx.reshape(-1)
+    ones = jnp.ones((m, 1), jnp.float32)
+    ref_counts = np.asarray(ops.segment_sum(ones, ids, cap))[:, 0]
+    got_counts = np.asarray(ops.seg_counts_sorted(e, cap))
+    np.testing.assert_array_equal(got_counts, ref_counts.astype(np.int32))
+
+    rng = np.random.default_rng(2)
+    vals = jnp.asarray(rng.normal(size=(m, 3)), jnp.float32)
+    ref_mean = ops.segment_mean(vals, ids, cap)
+    got_mean = ops.seg_mean_sorted(jnp.take(vals, e.perm, axis=0), e, cap)
+    np.testing.assert_allclose(np.asarray(got_mean), np.asarray(ref_mean), rtol=1e-4, atol=1e-5)
+
+
+def test_seg_max_sorted_matches_segment_max(hier):
+    _, _, h = hier
+    e = h.edges
+    cap = h.structures[0].capacity
+    m = e.perm.shape[0]
+    rng = np.random.default_rng(3)
+    # distinct values -> unique winners -> carry comparison is well-defined
+    vals = jnp.asarray(rng.permutation(m * 4).reshape(m, 4).astype(np.float32))
+    carry = jnp.asarray(rng.normal(size=(m,)), jnp.float32)
+    ids = h.splat_idx.reshape(-1)
+
+    ref_max, ref_argsrc = ops.segment_max_with_src(vals, ids, cap)
+    got_max, got_carry = ops.seg_max_sorted(
+        jnp.take(vals, e.perm, axis=0), jnp.take(carry, e.perm, axis=0), e, cap
+    )
+    np.testing.assert_allclose(np.asarray(got_max), np.asarray(ref_max), rtol=1e-6)
+
+    ref_carry = np.where(
+        np.asarray(ref_argsrc) < m, np.asarray(carry)[np.minimum(np.asarray(ref_argsrc), m - 1)], 0.0
+    )
+    np.testing.assert_allclose(np.asarray(got_carry), ref_carry, rtol=1e-6)
+
+
+def test_distribute_sorted_matches_distribute(hier):
+    pos, mask, h = hier
+    cap = h.structures[0].capacity
+    rng = np.random.default_rng(4)
+    values = jnp.asarray(rng.normal(size=(600, 2)), jnp.float32)
+
+    ref_rows, ref_ids = ops.distribute(
+        pos, values, h.splat_idx, h.splat_weights, cap, point_mask=mask
+    )
+    got_rows, got_ids = ops.distribute_sorted(pos, values, h.edges, cap)
+
+    perm = np.asarray(h.edges.perm)
+    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(ref_ids)[perm])
+    # atol covers accumulation-order noise: the local mean is a cumsum here vs
+    # a scatter-add in the reference path, so near-zero centred coords differ
+    # at the 1e-4 level in f32
+    np.testing.assert_allclose(
+        np.asarray(got_rows), np.asarray(ref_rows)[perm], rtol=1e-3, atol=2e-4
+    )
+
+
+def test_seg_sum_sorted_gradients(hier):
+    _, _, h = hier
+    e = h.edges
+    cap = h.structures[0].capacity
+    m = e.perm.shape[0]
+    rng = np.random.default_rng(5)
+    vals = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
+
+    def f(v):
+        return jnp.sum(ops.seg_sum_sorted(v, e, cap) ** 2)
+
+    def f_ref(v):
+        return jnp.sum(ops.segment_sum(v[np.argsort(np.asarray(e.perm))], h.splat_idx.reshape(-1), cap) ** 2)
+
+    g = jax.grad(f)(vals)
+    g_ref = jax.grad(f_ref)(vals)
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_merge_lookup_matches_binary_lookup(hier):
+    _, _, h = hier
+    rng = np.random.default_rng(9)
+    for s in h.structures:
+        # mix of real keys, shifted keys (mostly misses) and random garbage
+        real = s.keys[: s.capacity // 2]
+        shifted = real + jnp.asarray(rng.integers(-2, 3, real.shape), jnp.int32)
+        garbage = jnp.asarray(rng.integers(-50, 50, (200, 3)), jnp.int32)
+        allq = jnp.concatenate([real, shifted, garbage])
+        q = allq[: (allq.shape[0] // 7) * 7].reshape(-1, 7, 3)  # odd batch shape
+        np.testing.assert_array_equal(
+            np.asarray(s.merge_lookup(q)), np.asarray(s.lookup(q)), err_msg=f"lvl {s.lvl}"
+        )
