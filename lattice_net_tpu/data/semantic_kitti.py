@@ -118,7 +118,48 @@ class SemanticKitti:
             name=f"{seq}/{f.stem}",
         )
 
+    def _postprocess(self, V, I, L):
+        if self.cap_distance > 0:
+            keep = np.linalg.norm(V, axis=1) < self.cap_distance
+            V, I, L = V[keep], I[keep], L[keep]
+        if len(V) > self.max_points:
+            sel = self.rng.choice(len(V), self.max_points, replace=False)
+            V, I, L = V[sel], I[sel], L[sel]
+        return V, I, L
+
     def __iter__(self):
+        """Training iteration: native threaded reader when available (scan
+        decode overlaps device compute — the reference's C++ dataloaders
+        pattern), python fallback otherwise."""
+        from lattice_net_tpu.data import native_loader as nl
+
+        if not self.do_overfit and nl.native_available():
+            files = [f for _, f in self.scans]
+            labels = [
+                str(f.parent.parent / "labels" / (f.stem + ".label")) for _, f in self.scans
+            ]
+            if not all(Path(l).exists() for l in labels[:1]):
+                labels = None
+            loader = nl.NativeCloudLoader(
+                files, labels, fmt=nl.FORMAT_KITTI_BIN, shuffle=self.shuffle,
+                seed=int(self.rng.integers(1 << 31)),
+            )
+            try:
+                for xyz, intensity, lab in loader:
+                    # native reader strips the instance bits; apply the
+                    # learning-map remap here
+                    lab = _LEARNING_LUT[np.clip(lab, 0, len(_LEARNING_LUT) - 1)]
+                    V, I, L = self._postprocess(
+                        xyz, intensity.reshape(-1, 1), lab.reshape(-1, 1).astype(np.int32)
+                    )
+                    yield ToyCloud(
+                        V=V.astype(np.float32), C=np.zeros_like(V),
+                        I=I.astype(np.float32), L_gt=L,
+                    )
+            finally:
+                loader.close()
+            return
+
         order = np.arange(len(self))
         if self.shuffle and not self.do_overfit:
             self.rng.shuffle(order)

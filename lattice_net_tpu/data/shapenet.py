@@ -122,6 +122,35 @@ class ShapeNetPartSeg:
         return ToyCloud(V=V, C=C, I=I, L_gt=L, name=pts_f.stem)
 
     def __iter__(self):
+        """Training iteration: native threaded .pts/.seg reader when available
+        (text parsing off-thread; replaces the slow in-loop np.loadtxt),
+        python fallback otherwise."""
+        from lattice_net_tpu.data import native_loader as nl
+
+        if not self.do_overfit and nl.native_available():
+            pts = [p for p, _ in self.files]
+            segs = [str(s) for _, s in self.files]
+            loader = nl.NativeCloudLoader(
+                pts, segs, fmt=nl.FORMAT_SHAPENET_PTS, shuffle=self.shuffle,
+                seed=int(self.rng.integers(1 << 31)),
+            )
+            try:
+                for xyz, _extra, lab in loader:
+                    V = xyz.astype(np.float32)
+                    L = lab.reshape(-1, 1).astype(np.int32)
+                    if self.normalize:
+                        V = V - V.mean(0, keepdims=True)
+                        V = V / (np.abs(V).max() + 1e-9)
+                    if self.transform is not None and self.mode == "train":
+                        V, L = apply_transform(V, L, self.transform, self.rng)
+                    yield ToyCloud(
+                        V=V, C=np.zeros_like(V),
+                        I=np.zeros((len(V), 1), np.float32), L_gt=L,
+                    )
+            finally:
+                loader.close()
+            return
+
         order = np.arange(len(self))
         if self.shuffle and not self.do_overfit:
             self.rng.shuffle(order)

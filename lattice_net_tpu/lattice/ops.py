@@ -22,11 +22,11 @@ from lattice_net_tpu.ops_tpu.gather import take_rows as _take_rows
 
 
 def _fast_ops() -> bool:
-    """Route gathers/scatters through the TPU-optimised paths.
+    """Route gathers through the take_rows custom-VJP path on TPU.
 
-    XLA's native row gather / scatter on TPU run 10-50x below HBM bandwidth at
-    lattice shapes (measured); the Pallas dynamic-gather and the sort+scan
-    segment-sum close that gap.  Disable with LNT_FAST_OPS=0 (tests compare
+    The forward is a plain clamped take either way; the custom VJP pins the
+    adjoint to an f32-accumulating scatter-add (chained-dispatch-measured
+    fastest at lattice shapes).  Disable with LNT_FAST_OPS=0 (tests compare
     both paths).
     """
     env = os.environ.get("LNT_FAST_OPS")
@@ -36,6 +36,30 @@ def _fast_ops() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+def check_positions(positions, values=None) -> None:
+    """Host-side input validation (``Lattice::check_positions``,
+    ``src/Lattice.cu:162-181``): dtype/rank/finite checks before a cloud
+    enters the pipeline.  Call on numpy inputs at the data boundary — inside
+    jit everything is shape-static by construction."""
+    import numpy as np
+
+    p = np.asarray(positions)
+    if p.ndim != 2 or p.shape[1] not in (2, 3, 4, 5, 6):
+        raise ValueError(f"positions must be (N, d) with d in 2..6, got {p.shape}")
+    if p.shape[0] == 0:
+        raise ValueError("empty point cloud")
+    if not np.issubdtype(p.dtype, np.floating):
+        raise TypeError(f"positions must be float, got {p.dtype}")
+    if not np.all(np.isfinite(p)):
+        raise ValueError("positions contain NaN/Inf")
+    if values is not None:
+        v = np.asarray(values)
+        if v.ndim != 2 or v.shape[0] != p.shape[0]:
+            raise ValueError(f"values must be (N, C) matching positions, got {v.shape}")
+        if not np.all(np.isfinite(v)):
+            raise ValueError("values contain NaN/Inf")
 
 
 def gather_rows(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -63,6 +87,7 @@ __all__ = [
     "seg_mean_sorted",
     "seg_max_sorted",
     "seg_counts_sorted",
+    "check_positions",
 ]
 
 

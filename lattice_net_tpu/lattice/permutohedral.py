@@ -160,6 +160,18 @@ def vertex_keys(rem0: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
     return keys.astype(jnp.int32)
 
 
+def splat_coords_elevated(elevated: jnp.ndarray):
+    """splat_coords for points already on the hyperplane H_d.
+
+    Used by the vertex-proxy coarse build: a level-l lattice key IS an
+    (integer) elevated point, and the level-(l+1) elevated coordinates are
+    exactly key/2 (the elevation map is linear in 1/sigma) — no re-elevation
+    of raw positions needed.
+    """
+    rem0, rank, bary = find_enclosing_simplex(elevated)
+    return vertex_keys(rem0, rank), bary
+
+
 def splat_coords(positions: jnp.ndarray):
     """Convenience: positions -> (keys, barycentric).
 

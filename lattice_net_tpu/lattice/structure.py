@@ -276,6 +276,40 @@ def build_structure(
     sigma = jnp.broadcast_to(jnp.asarray(sigma, positions.dtype), (d,))
     scaled = positions / sigma
     keys, bary = permutohedral.splat_coords(scaled)  # (N, d+1, d), (N, d+1)
+    return _dedup_build(keys, bary, sigma, capacity, lvl, point_mask, with_edges)
+
+
+def build_structure_from_elevated(
+    elevated: jnp.ndarray,
+    sigma: jnp.ndarray,
+    capacity: int,
+    lvl: int,
+    point_mask: jnp.ndarray | None = None,
+):
+    """Build a lattice level from points already in elevated (H_d) coordinates.
+
+    The vertex-proxy coarse build: level-l keys are integer elevated points,
+    and dividing by 2 lands them in level-(l+1) elevated coordinates exactly
+    (f32 is exact here — integer/2 up to 2^24).
+    """
+    d1 = elevated.shape[-1]
+    keys, bary = permutohedral.splat_coords_elevated(elevated)
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (d1 - 1,))
+    s, vid, bw = _dedup_build(keys, bary, sigma, capacity, lvl, point_mask, False)
+    return s, vid, bw
+
+
+def _dedup_build(
+    keys: jnp.ndarray,
+    bary: jnp.ndarray,
+    sigma: jnp.ndarray,
+    capacity: int,
+    lvl: int,
+    point_mask: jnp.ndarray | None,
+    with_edges: bool,
+):
+    """Shared sort-dedup body: (N, d+1, d) simplex keys -> sorted table."""
+    n, d1, d = keys.shape
 
     m = n * (d + 1)
     flat_keys = keys.reshape(m, d)
@@ -505,13 +539,20 @@ def build_hierarchy(
     nr_levels: int,
     capacities: Sequence[int],
     point_mask: jnp.ndarray | None = None,
+    coarse_from_vertices: bool = False,
 ) -> LatticeHierarchy:
     """Build every level + every index table the U-Net forward needs.
 
-    Level l is built by re-splatting the raw positions at sigma * 2^l — the
-    ``create_coarse_verts_naive`` strategy the reference model actually uses
-    (``src/Lattice.cu:706-740``; chosen over key-halving because it guarantees
-    vertices stay near the data, ``Lattice.cuh:60``).
+    By default each coarse level re-splats the raw positions at sigma * 2^l —
+    the ``create_coarse_verts_naive`` strategy the reference model uses
+    (``src/Lattice.cu:706-740``).  ``coarse_from_vertices=True`` instead
+    splats the previous level's UNIQUE VERTICES (a level-l key is an integer
+    elevated point and key/2 is exactly its level-(l+1) elevated coordinate),
+    cutting each coarse sort from N(d+1) to capacity_(l-1)*(d+1) edges —
+    attractive when points far outnumber vertices (e.g. ScanNet).  It is an
+    APPROXIMATION: measured on random clouds it misses ~8% of the coarse
+    vertices the reference creates that have non-empty coarsen patches
+    (tests/test_sorted_ops quantifies this), so it defaults off.
 
     Args:
       positions: (N, d) float32 raw positions.
@@ -531,6 +572,20 @@ def build_hierarchy(
     structures = []
     splat_idx = splat_w = edges = None
     for lvl in range(nr_levels + 1):
+        if lvl > 0 and coarse_from_vertices:
+            prev = structures[-1]
+            occ = prev.occupancy_mask()
+            k = jnp.where(occ[:, None], prev.keys, 0)
+            elevated = jnp.concatenate([k, -jnp.sum(k, axis=-1, keepdims=True)], axis=-1)
+            s, _, _ = build_structure_from_elevated(
+                elevated.astype(jnp.float32) / 2.0,
+                sigma * (2.0**lvl),
+                int(capacities[lvl]),
+                lvl=lvl,
+                point_mask=occ,
+            )
+            structures.append(s)
+            continue
         out = build_structure(
             positions,
             sigma * (2.0**lvl),

@@ -103,11 +103,14 @@ def batched_clouds(loader, model_params, batch_size: int, n_points: int, drop_la
     all-False point mask, so shapes stay static (the repeated cloud scores
     zero valid points and contributes nothing to metrics).
     """
+    from lattice_net_tpu.lattice.ops import check_positions
     from lattice_net_tpu.models import prepare_cloud
 
     buf = []
     for cloud in loader:
-        buf.append(prepare_cloud(cloud, model_params))
+        prepared = prepare_cloud(cloud, model_params)
+        check_positions(prepared[0], prepared[1])
+        buf.append(prepared)
         if len(buf) == batch_size:
             yield buf, len(buf)
             buf = []

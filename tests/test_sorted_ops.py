@@ -184,3 +184,39 @@ def test_merge_lookup_matches_binary_lookup(hier):
         np.testing.assert_array_equal(
             np.asarray(s.merge_lookup(q)), np.asarray(s.lookup(q)), err_msg=f"lvl {s.lvl}"
         )
+
+
+def test_coarse_from_vertices_covers_reference_patches():
+    """The default path must match the reference strategy exactly; the
+    opt-in vertex-proxy build is a documented approximation — quantify its
+    gap (reachable coarse vertices it misses) and keep it bounded."""
+    from lattice_net_tpu.lattice.structure import build_hierarchy, build_structure
+
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.uniform(-2, 2, (800, 3)), jnp.float32)
+    sigma = 0.2
+
+    h_proxy = build_hierarchy(pos, sigma, 1, (2048, 1024), coarse_from_vertices=True)
+    h_ref = build_hierarchy(pos, sigma, 1, (2048, 1024), coarse_from_vertices=False)
+
+    # parity flag == direct re-splat of positions at 2 sigma
+    s_direct, _, _ = build_structure(pos, sigma * 2, 1024, lvl=1)
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.structures[1].keys), np.asarray(s_direct.keys)
+    )
+
+    ref_coarse = h_ref.structures[1]
+    nbr_ref = np.asarray(h_ref.neighbors_coarsen[0])  # into the fine table
+    cap_fine = h_ref.structures[0].capacity
+    nr_ref = int(ref_coarse.nr_verts)
+    has_input = (nbr_ref[:nr_ref] < cap_fine).any(axis=1)
+
+    proxy_keys = {
+        tuple(k) for k in np.asarray(h_proxy.structures[1].keys)[: int(h_proxy.structures[1].nr_verts)]
+    }
+    ref_keys = np.asarray(ref_coarse.keys)[:nr_ref]
+    missing = [
+        tuple(k) for k, need in zip(ref_keys, has_input) if need and tuple(k) not in proxy_keys
+    ]
+    frac = len(missing) / max(int(has_input.sum()), 1)
+    assert frac < 0.15, f"proxy build missing {frac:.1%} of reachable coarse vertices"
