@@ -73,14 +73,9 @@ def main():
     )
     params = model.init(jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0])
     if args.checkpoint:
-        from lattice_net_tpu.parallel import TrainState
-        from lattice_net_tpu.train import make_optimizer
+        from lattice_net_tpu.train.checkpoint import load_params
 
-        template = TrainState.create(params, make_optimizer())
-        try:
-            params = load_checkpoint(args.checkpoint, template).params
-        except Exception:
-            params = load_checkpoint(args.checkpoint, params)
+        params = load_params(args.checkpoint, params)
         print(f"restored {args.checkpoint}")
 
     @jax.jit

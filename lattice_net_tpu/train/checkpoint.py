@@ -29,6 +29,19 @@ def load_checkpoint(path, target):
     return serialization.from_bytes(target, data)
 
 
+def load_params(path, params_template):
+    """Restore only the model parameters from a full-TrainState checkpoint.
+
+    Evaluation must not need to reconstruct the training-time optimizer just
+    to satisfy the TrainState treedef (schedules differ per dataset):
+    ``msgpack_restore`` reads the raw tree without a target, then the params
+    subtree restores structurally.  Accepts params-only checkpoints too.
+    """
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    sub = raw.get("params", raw) if isinstance(raw, dict) else raw
+    return serialization.from_state_dict(params_template, sub)
+
+
 def latest_checkpoint(directory):
     ckpts = sorted(Path(directory).glob("*.ckpt"), key=lambda p: p.stat().st_mtime)
     return ckpts[-1] if ckpts else None

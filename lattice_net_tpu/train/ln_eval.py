@@ -82,17 +82,10 @@ def run(config_path: str, checkpoint: str = "", write_predictions: bool | None =
     )
     params = model.init(jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0])
     if checkpoint:
-        from lattice_net_tpu.parallel import TrainState
-        from lattice_net_tpu.train import make_optimizer
+        from lattice_net_tpu.train.checkpoint import load_params
 
-        template = TrainState.create(params, make_optimizer())
-        try:
-            params = load_checkpoint(checkpoint, template).params
-            print(f"restored checkpoint {checkpoint}")
-        except Exception:
-            # also accept raw params-only checkpoints
-            params = load_checkpoint(checkpoint, params)
-            print(f"restored params-only checkpoint {checkpoint}")
+        params = load_params(checkpoint, params)
+        print(f"restored checkpoint {checkpoint}")
 
     @jax.jit
     def _predict(params, batch):

@@ -53,11 +53,9 @@ def run(config_path: str, checkpoint: str = "", rate_hz: float = 10.0, nr_scans:
     )
     params = model.init(jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0])
     if checkpoint or ep.checkpoint_path:
-        from lattice_net_tpu.parallel import TrainState
-        from lattice_net_tpu.train import make_optimizer
+        from lattice_net_tpu.train.checkpoint import load_params
 
-        template = TrainState.create(params, make_optimizer())
-        params = load_checkpoint(checkpoint or ep.checkpoint_path, template).params
+        params = load_params(checkpoint or ep.checkpoint_path, params)
 
     @jax.jit
     def predict(params, positions, values, point_mask):

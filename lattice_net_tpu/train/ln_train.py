@@ -84,15 +84,18 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
 
 
 def sanity_check(nr_verts: int, nr_points: int, capacity: int) -> None:
-    """Heuristics from the reference (``ln_train.py:57-81``)."""
+    """Heuristics from the reference (``ln_train.py:57-81``), adapted: the
+    reference warns above 25% load because its open-addressing hash table
+    degrades with probe-chain length; the sort-based table here has no
+    collision cost, so the only hard failure is overflow — warn near full."""
     if nr_verts < 100:
         print(f"WARNING: only {nr_verts} vertices — sigma is probably too big")
     if nr_verts > nr_points:
         print(f"WARNING: {nr_verts} vertices > {nr_points} points — sigma too small")
-    if nr_verts > 0.25 * capacity:
+    if nr_verts > 0.9 * capacity:
         print(
-            f"WARNING: lattice at {nr_verts}/{capacity} (> 25% capacity): "
-            "increase hash_table_capacity"
+            f"WARNING: lattice at {nr_verts}/{capacity} (> 90% capacity): "
+            "overflow imminent — increase hash_table_capacity"
         )
 
 

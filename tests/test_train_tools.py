@@ -143,3 +143,23 @@ def test_make_batch_subsample_varies_between_calls():
     b2 = make_batch([cloud], mp, 32)
     # ADVICE r1: the subsample must differ between calls (was re-seeded to 0)
     assert not np.array_equal(np.asarray(b1["target"]), np.asarray(b2["target"]))
+
+
+def test_load_params_across_optimizers(tmp_path):
+    """Eval must restore weights from a checkpoint saved with a DIFFERENT
+    optimizer/schedule (plateau state broke the treedef-matching load)."""
+    import jax.numpy as jnp
+
+    from lattice_net_tpu.parallel import TrainState
+    from lattice_net_tpu.train import make_optimizer
+    from lattice_net_tpu.train.checkpoint import load_params, save_checkpoint
+
+    params = {"params": {"Dense_0": {"kernel": jnp.ones((3, 2)), "bias": jnp.zeros(2)}}}
+    tx = make_optimizer(1e-3, schedule="reduce_on_plateau")
+    state = TrainState.create(params, tx)
+    save_checkpoint(tmp_path / "c.ckpt", state)
+
+    template = {"params": {"Dense_0": {"kernel": jnp.zeros((3, 2)), "bias": jnp.ones(2)}}}
+    restored = load_params(tmp_path / "c.ckpt", template)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["Dense_0"]["kernel"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["Dense_0"]["bias"]), 0.0)
