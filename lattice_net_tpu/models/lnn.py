@@ -130,7 +130,15 @@ class LNN(nn.Module):
         # reductions below are sort-free run reductions (structure.EdgeSort).
         from lattice_net_tpu.lattice import ops as lops
 
-        rows_sorted, _ = lops.distribute_sorted(positions, values, h.edges, cap0)
+        # ablation modes (reference ModelParams "experiment"; the live branch
+        # is slice_no_deform, lattice_modules.py:536 — the *_no_local_mean
+        # family is the documented concept at lattice_modules.py:64-75)
+        no_mean = p.experiment in (
+            "pointnet_no_local_mean", "pointnet_no_elevate_no_local_mean", "splat"
+        )
+        rows_sorted, _ = lops.distribute_sorted(
+            positions, values, h.edges, cap0, subtract_local_mean=not no_mean
+        )
 
         # --- pointnet featuriser
         lv = lnm.PointNetModule(
@@ -181,7 +189,8 @@ class LNN(nn.Module):
 
         # --- deformable slice-classify head
         logits = lnm.SliceFastModule(
-            final_channels, p.nr_classes, dropout=p.dropout_last_layer
+            final_channels, p.nr_classes, dropout=p.dropout_last_layer,
+            experiment=p.experiment,
         )(lv, masks[0], h.splat_idx, h.splat_weights, deterministic=deterministic)
 
         return jax.nn.log_softmax(logits, axis=-1), logits

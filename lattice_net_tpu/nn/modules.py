@@ -488,6 +488,9 @@ class SliceFastModule(nn.Module):
     nr_classes: int
     bottleneck_size: int = 8
     dropout: float = 0.0
+    # reference ablation (``lattice_modules.py:536``): "slice_no_deform"
+    # zeroes the learned barycentric offsets
+    experiment: str = "none"
 
     @nn.compact
     def __call__(self, lv, mask, splat_idx, splat_weights, deterministic=True):
@@ -519,6 +522,8 @@ class SliceFastModule(nn.Module):
         dw_kernel = self.param("delta_kernel", dw_init, (vdim, 1))
         dw_bias = self.param("delta_bias", nn.initializers.zeros, (1,))
         delta = (g @ dw_kernel + dw_bias).reshape(n, d1)
+        if self.experiment == "slice_no_deform":
+            delta = jnp.zeros_like(delta)
 
         if self.dropout > 0.0:
             lv = channel_dropout(self, lv, self.dropout, deterministic)

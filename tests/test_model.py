@@ -97,3 +97,37 @@ def test_model_batched_vmap(toy):
     assert logp.shape == (2, 600, 4)
     single, _ = model.apply(params, h, pos, vals)
     np.testing.assert_allclose(np.asarray(logp[0]), np.asarray(single), atol=2e-5)
+
+
+def test_experiment_modes_run():
+    """Reference ablation modes: slice_no_deform (live branch,
+    lattice_modules.py:536) and pointnet_no_local_mean must both produce
+    finite outputs that differ from the default model."""
+    import jax
+    import jax.numpy as jnp
+
+    from lattice_net_tpu.lattice.structure import build_hierarchy
+    from lattice_net_tpu.models import LNN, ModelParams
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(-1, 1, (300, 3)), jnp.float32)
+    vals = jnp.zeros((300, 1), jnp.float32)
+    caps = (512, 256, 128)
+    h = build_hierarchy(pos, 0.3, 2, caps)
+
+    outs = {}
+    for exp in ("none", "slice_no_deform", "pointnet_no_local_mean"):
+        mp = ModelParams(
+            nr_classes=4, pointnet_channels_per_layer=(8, 8),
+            pointnet_start_nr_channels=8, nr_downsamples=2,
+            nr_blocks_down_stage=(1, 1), nr_blocks_bottleneck=1,
+            nr_blocks_up_stage=(1, 1), experiment=exp,
+        )
+        model = LNN(mp)
+        params = model.init(jax.random.PRNGKey(0), h, pos, vals)
+        logp, _ = model.apply(params, h, pos, vals)
+        assert np.all(np.isfinite(np.asarray(logp))), exp
+        outs[exp] = np.asarray(logp)
+
+    assert not np.allclose(outs["none"], outs["slice_no_deform"])
+    assert not np.allclose(outs["none"], outs["pointnet_no_local_mean"])
