@@ -38,11 +38,16 @@ def _fast_ops() -> bool:
         return False
 
 
-def check_positions(positions, values=None) -> None:
+def check_positions(positions, values=None, sigma=None) -> None:
     """Host-side input validation (``Lattice::check_positions``,
     ``src/Lattice.cu:162-181``): dtype/rank/finite checks before a cloud
     enters the pipeline.  Call on numpy inputs at the data boundary — inside
-    jit everything is shape-static by construction."""
+    jit everything is shape-static by construction.
+
+    When ``sigma`` is given, additionally verifies the scene fits the packed
+    key representation (|lattice key| < structure.PACK_BOUND): keys scale as
+    ~2.4 * |position| / sigma, so the bound allows scenes ~6000 sigma across
+    — 15x the largest published config (KITTI: 100 m at sigma 0.6)."""
     import numpy as np
 
     p = np.asarray(positions)
@@ -54,6 +59,18 @@ def check_positions(positions, values=None) -> None:
         raise TypeError(f"positions must be float, got {p.dtype}")
     if not np.all(np.isfinite(p)):
         raise ValueError("positions contain NaN/Inf")
+    if sigma is not None:
+        from lattice_net_tpu.lattice.structure import PACK_BOUND
+
+        s = np.broadcast_to(np.asarray(sigma, np.float64), (p.shape[1],))
+        # elevation stretches scaled coords by < (d+1)*sqrt(2/3)/sqrt(2) per
+        # axis; 2.5 bounds it for d <= 6, plus margin for neighbour moves
+        max_key = 2.5 * np.max(np.abs(p) / s) + 8
+        if max_key >= PACK_BOUND:
+            raise ValueError(
+                f"scene too large for packed lattice keys: |key| ~ {max_key:.0f} "
+                f">= {PACK_BOUND}; increase sigma or crop the cloud"
+            )
     if values is not None:
         v = np.asarray(values)
         if v.ndim != 2 or v.shape[0] != p.shape[0]:
@@ -400,6 +417,21 @@ def _take_monotone_columns(values: jnp.ndarray, idx_cols: jnp.ndarray) -> jnp.nd
     return jnp.stack(outs, axis=1), valid
 
 
+def gather_neighbor_values_xla(
+    values: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    include_center_self: bool,
+) -> jnp.ndarray:
+    """XLA path of :func:`gather_neighbor_values` (monotone per-column
+    gathers); also the correctness fallback of the Pallas window kernel."""
+    patch, valid = _take_monotone_columns(values, neighbors)  # (Cq, K, C)
+    patch = jnp.where(valid[..., None], patch, 0.0)
+    if include_center_self:
+        center = values[: neighbors.shape[0]][:, None, :]
+        patch = jnp.concatenate([patch, center], axis=1)
+    return patch
+
+
 def gather_neighbor_values(
     values: jnp.ndarray,
     neighbors: jnp.ndarray,
@@ -413,16 +445,18 @@ def gather_neighbor_values(
     their own centre).  Missing neighbours contribute zeros, matching the
     zero-initialised im2row rows of the reference.
 
-    Uses monotone per-column gathers (see _take_monotone_columns) — this is
-    the hot im2row data movement (``LatticeGPU.cuh:1464-1688``).
+    This is the hot im2row data movement (``LatticeGPU.cuh:1464-1688``).  On
+    TPU with bf16 values it runs the Pallas monotone-window kernel
+    (ops_tpu.patch) — one exact one-hot MXU matmul per (subtile, column)
+    instead of a row-latency-bound gather; elsewhere, per-column XLA gathers
+    with the sorted-indices hint.
     """
-    cap_nbr = values.shape[0]
-    patch, valid = _take_monotone_columns(values, neighbors)  # (Cq, K, C)
-    patch = jnp.where(valid[..., None], patch, 0.0)
-    if include_center_self:
-        center = values[: neighbors.shape[0]][:, None, :]
-        patch = jnp.concatenate([patch, center], axis=1)
-    return patch
+    if _fast_ops():
+        from lattice_net_tpu.ops_tpu import patch as _patch
+
+        if _patch.patch_gather_supported(values, neighbors):
+            return _patch.patch_gather(values, neighbors, include_center_self)
+    return gather_neighbor_values_xla(values, neighbors, include_center_self)
 
 
 def conv_im2row(
@@ -443,12 +477,14 @@ def conv_im2row(
     itself; cross-level tables (coarsen/finefy) carry the centre index as
     their last column.
 
-    LNT_CONV_DTYPE=bf16 casts values+filters to bf16 before the patch gather
-    and GEMM (f32 accumulation): the gather is partially byte-bound on TPU
-    (bf16 tables measured ~28% faster) and the GEMM takes the fast MXU path.
-    Default stays f32; the bench enables it after verifying mIoU parity.
+    On TPU the conv runs in bf16 by default (f32 accumulation): bf16 parity
+    was verified at mIoU level (docs/runs), the patch gather halves its bytes
+    AND becomes eligible for the Pallas one-hot-MXU window kernel
+    (ops_tpu.patch), and the GEMM takes the fast MXU path.  Set
+    LNT_CONV_DTYPE=f32 to opt out (CPU/tests default to f32 already).
     """
-    if os.environ.get("LNT_CONV_DTYPE", "") == "bf16":
+    conv_dt = os.environ.get("LNT_CONV_DTYPE", "")
+    if conv_dt == "bf16" or (conv_dt != "f32" and _fast_ops()):
         values = values.astype(jnp.bfloat16)
         weight = weight.astype(jnp.bfloat16)
     patch = gather_neighbor_values(values, neighbors, include_center_self=same_level)

@@ -81,6 +81,52 @@ def _lex_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+# Coordinate bound for the pair-packed key representation.  Lattice keys are
+# positions/sigma stretched by the ~2.3x elevation scale; 16383 lattice units
+# per axis covers every published dataset config by >15x (KITTI: 100 m at
+# sigma 0.6 is ~430 units).  ``ops.check_positions`` enforces it at the data
+# boundary.
+PACK_BOUND = 1 << 14  # |k| < 16384 -> (k0 + 16384, k1 + 16384) fits 15+15 bits
+
+
+def pack_key_pairs(keys: jnp.ndarray) -> jnp.ndarray:
+    """Lex-order-preserving pack of (..., d) int32 keys into ceil(d/2) columns.
+
+    Column pairs (2i, 2i+1) combine as ``k0 * 2^16 + (k1 + 2^15)``: monotone
+    in (k0, k1) lex order because the k1 payload (0..65535) never crosses a
+    k0 step, and exactly invertible while |k| < 2^15 (we require < 2^14).
+    SENTINEL rows (empty slots / masked edges) stay SENTINEL: the packed
+    maximum at |k| < 2^14 is 0x40007FFF < INT32_MAX, so the sentinel still
+    sorts strictly last.  Cuts lexicographic sort/compare operand counts
+    nearly in half — the top cost of the hierarchy build.
+    """
+    d = keys.shape[-1]
+    cols = []
+    for i in range(0, d - 1, 2):
+        a, b = keys[..., i], keys[..., i + 1]
+        p = a * 65536 + (b + 32768)
+        cols.append(jnp.where(a == SENTINEL, SENTINEL, p))
+    if d % 2:
+        cols.append(keys[..., d - 1])
+    return jnp.stack(cols, axis=-1)
+
+
+def unpack_key_pairs(packed: jnp.ndarray, pos_dim: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_key_pairs` (SENTINEL rows stay SENTINEL)."""
+    d = pos_dim
+    cols = []
+    for i in range(0, d - 1, 2):
+        p = packed[..., i // 2]
+        b = jnp.mod(p, 65536) - 32768  # floor-mod: exact for negative p
+        a = (p - (b + 32768)) // 65536
+        sent = p == SENTINEL
+        cols.append(jnp.where(sent, SENTINEL, a))
+        cols.append(jnp.where(sent, SENTINEL, b))
+    if d % 2:
+        cols.append(packed[..., -1])
+    return jnp.stack(cols, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # pytree containers
 # ---------------------------------------------------------------------------
@@ -110,6 +156,9 @@ class LatticeStructure:
     capacity: int = struct.field(pytree_node=False)
     pos_dim: int = struct.field(pytree_node=False)
     lvl: int = struct.field(pytree_node=False)
+    # pair-packed key table (capacity, ceil(d/2)); same lex order as ``keys``.
+    # Optional for backward compatibility; all builders populate it.
+    keys2: Any = None
 
     @property
     def invalid_index(self) -> int:
@@ -119,16 +168,22 @@ class LatticeStructure:
         """(capacity,) bool — True for real vertices."""
         return jnp.arange(self.capacity, dtype=jnp.int32) < self.nr_verts
 
+    def _packed_table(self) -> jnp.ndarray:
+        if self.keys2 is not None:
+            return self.keys2
+        return pack_key_pairs(self.keys)
+
     def lookup(self, query_keys: jnp.ndarray) -> jnp.ndarray:
         """Resolve (..., d) int32 keys to row indices; misses -> capacity.
 
         Replaces ``HashTableGPU::retrieve`` (``HashTableGPU.cuh:491-518``):
         a branchless lower-bound binary search, vectorised over all queries
         (log2(capacity) gather+compare rounds, no data-dependent control
-        flow).
+        flow).  Comparisons run on the pair-packed columns.
         """
         c = self.capacity
-        table = self.keys
+        table = self._packed_table()
+        q = pack_key_pairs(query_keys)
         batch_shape = query_keys.shape[:-1]
         nsteps = (c - 1).bit_length() if c > 1 else 0
         step0 = 1 << (nsteps - 1) if nsteps else 0
@@ -142,13 +197,13 @@ class LatticeStructure:
             cand = pos + step
             ok = cand <= c
             rows = jnp.take(table, jnp.minimum(cand - 1, c - 1), axis=0)
-            advance = ok & _lex_less(rows, query_keys)
+            advance = ok & _lex_less(rows, q)
             return jnp.where(advance, cand, pos)
 
         pos = jax.lax.fori_loop(0, nsteps, body, jnp.zeros(batch_shape, dtype=jnp.int32))
         in_range = pos < c
         rows = jnp.take(table, jnp.minimum(pos, c - 1), axis=0)
-        found = in_range & jnp.all(rows == query_keys, axis=-1)
+        found = in_range & jnp.all(rows == q, axis=-1)
         return jnp.where(found, pos, c).astype(jnp.int32)
 
     def merge_lookup(self, query_keys: jnp.ndarray) -> jnp.ndarray:
@@ -160,24 +215,27 @@ class LatticeStructure:
         queries), then the running max of seen table-row ids at each sorted
         position IS the lower-bound candidate for every query — one scan +
         one verification gather instead of 17 dependent binary-search rounds
-        (the top cost of the round-1 hierarchy build).
+        (the top cost of the round-1 hierarchy build).  Sorts the pair-packed
+        columns: ceil(d/2)+1 operands instead of d+1.
         """
-        c, d = self.keys.shape
+        c = self.capacity
+        table = self._packed_table()
+        dp = table.shape[1]
         shape = query_keys.shape[:-1]
-        q = query_keys.reshape(-1, d)
+        q = pack_key_pairs(query_keys.reshape(-1, query_keys.shape[-1]))
         nq = q.shape[0]
 
-        keys_all = jnp.concatenate([self.keys, q], axis=0)
+        keys_all = jnp.concatenate([table, q], axis=0)
         payload = jnp.arange(c + nq, dtype=jnp.int32)
-        cols = tuple(keys_all[:, i] for i in range(d))
-        sorted_ = lax.sort(cols + (payload,), num_keys=d, is_stable=True)
-        sid = sorted_[d]
+        cols = tuple(keys_all[:, i] for i in range(dp))
+        sorted_ = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
+        sid = sorted_[dp]
 
         # last table row at-or-before each position (table ids ascend with key)
         last_table = lax.cummax(jnp.where(sid < c, sid, -1))
         cand = jnp.maximum(last_table, 0)
-        tkeys = jnp.take(self.keys, cand, axis=0)
-        skeys = jnp.stack(sorted_[:d], axis=-1)
+        tkeys = jnp.take(table, cand, axis=0)
+        skeys = jnp.stack(sorted_[:dp], axis=-1)
         eq = jnp.all(tkeys == skeys, axis=-1) & (last_table >= 0)
         res = jnp.where(eq, cand, c).astype(jnp.int32)
 
@@ -254,6 +312,7 @@ def build_structure(
     lvl: int = 0,
     point_mask: jnp.ndarray | None = None,
     with_edges: bool = False,
+    need_point_maps: bool = True,
 ):
     """Build one lattice level from raw positions.
 
@@ -268,6 +327,10 @@ def build_structure(
       capacity: static int, max number of vertices stored.
       lvl: static level index (0 = finest).
       point_mask: optional (N,) bool; False rows produce no vertices.
+      need_point_maps: when False, skip the point->vertex id map and splat
+        weights (returned as None) — the coarse levels of the hierarchy only
+        need the key table, and dropping the sort payload + inverse-perm
+        scatter makes those builds ~2x cheaper.
 
     Returns:
       (structure, splat_idx (N, d+1) int32, splat_weights (N, d+1) float32)
@@ -276,7 +339,9 @@ def build_structure(
     sigma = jnp.broadcast_to(jnp.asarray(sigma, positions.dtype), (d,))
     scaled = positions / sigma
     keys, bary = permutohedral.splat_coords(scaled)  # (N, d+1, d), (N, d+1)
-    return _dedup_build(keys, bary, sigma, capacity, lvl, point_mask, with_edges)
+    return _dedup_build(
+        keys, bary, sigma, capacity, lvl, point_mask, with_edges, need_point_maps
+    )
 
 
 def build_structure_from_elevated(
@@ -307,8 +372,14 @@ def _dedup_build(
     lvl: int,
     point_mask: jnp.ndarray | None,
     with_edges: bool,
+    need_point_maps: bool = True,
 ):
-    """Shared sort-dedup body: (N, d+1, d) simplex keys -> sorted table."""
+    """Shared sort-dedup body: (N, d+1, d) simplex keys -> sorted table.
+
+    Sorts the pair-packed key columns (ceil(d/2) operands instead of d) and
+    carries the edge-order payload only when the caller needs point->vertex
+    maps; coarse hierarchy levels sort bare keys.
+    """
     n, d1, d = keys.shape
 
     m = n * (d + 1)
@@ -318,14 +389,20 @@ def _dedup_build(
         edge_valid = jnp.repeat(point_mask, d + 1)
         flat_keys = jnp.where(edge_valid[:, None], flat_keys, SENTINEL)
 
-    # lexicographic multi-key sort with the original edge index as payload
-    cols = tuple(flat_keys[:, i] for i in range(d))
-    sorted_ops = lax.sort(cols + (jnp.arange(m, dtype=jnp.int32),), num_keys=d)
-    skeys = jnp.stack(sorted_ops[:d], axis=-1)  # (m, d) sorted
-    order = sorted_ops[d]
+    packed = pack_key_pairs(flat_keys)  # (m, dp)
+    dp = packed.shape[1]
+    cols = tuple(packed[:, i] for i in range(dp))
+    if need_point_maps or with_edges:
+        # lexicographic packed sort with the original edge index as payload
+        sorted_ops = lax.sort(cols + (jnp.arange(m, dtype=jnp.int32),), num_keys=dp)
+        order = sorted_ops[dp]
+    else:
+        sorted_ops = lax.sort(cols, num_keys=dp)
+        order = None
+    spacked = jnp.stack(sorted_ops[:dp], axis=-1)  # (m, dp) sorted
 
-    svalid = skeys[:, 0] != SENTINEL
-    differs = jnp.any(skeys[1:] != skeys[:-1], axis=-1)
+    svalid = spacked[:, 0] != SENTINEL
+    differs = jnp.any(spacked[1:] != spacked[:-1], axis=-1)
     is_new = svalid & jnp.concatenate([jnp.ones((1,), bool), differs])
     uid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # dense id per sorted edge
     nr_unique = jnp.sum(is_new.astype(jnp.int32))
@@ -344,14 +421,12 @@ def _dedup_build(
     )
 
     # sorted key table: any row of a run carries the key, so gather at ends
-    keys_table = jnp.where(
+    packed_table = jnp.where(
         (ends >= 0)[:, None],
-        jnp.take(skeys, jnp.maximum(ends, 0), axis=0),
+        jnp.take(spacked, jnp.maximum(ends, 0), axis=0),
         SENTINEL,
     )
-
-    # per-edge vertex id, overflow/invalid -> capacity
-    uid_ok = jnp.where(svalid & (uid_sorted < capacity), uid_sorted, capacity)
+    keys_table = unpack_key_pairs(packed_table, d)
 
     structure = LatticeStructure(
         keys=keys_table,
@@ -361,14 +436,19 @@ def _dedup_build(
         capacity=capacity,
         pos_dim=d,
         lvl=lvl,
+        keys2=packed_table,
     )
+    if not (need_point_maps or with_edges):
+        return structure, None, None
+
+    # per-edge vertex id, overflow/invalid -> capacity
+    uid_ok = jnp.where(svalid & (uid_sorted < capacity), uid_sorted, capacity)
+    # point -> vertex ids in original edge order (one full-stream scatter,
+    # the inverse permutation application)
+    vid = jnp.zeros((m,), dtype=jnp.int32).at[order].set(uid_ok.astype(jnp.int32))
     if not with_edges:
-        # point -> vertex ids in original edge order (one full-stream scatter,
-        # the inverse permutation application)
-        vid = jnp.zeros((m,), dtype=jnp.int32).at[order].set(uid_ok.astype(jnp.int32))
         return structure, vid.reshape(n, d + 1), bary
 
-    vid = jnp.zeros((m,), dtype=jnp.int32).at[order].set(uid_ok.astype(jnp.int32))
     edges = EdgeSort(
         perm=order.astype(jnp.int32),
         vertex=uid_ok.astype(jnp.int32),
@@ -599,6 +679,9 @@ def build_hierarchy(
             lvl=lvl,
             point_mask=point_mask,
             with_edges=(lvl == 0),
+            # coarse levels only contribute their key table (+ neighbour
+            # tables); the point->vertex maps exist at level 0 alone
+            need_point_maps=(lvl == 0),
         )
         structures.append(out[0])
         if lvl == 0:

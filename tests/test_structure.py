@@ -165,3 +165,38 @@ def test_build_is_jittable(rng):
     h = build(pts)
     h2 = build(pts + 0.0)
     assert int(h.structures[0].nr_verts) == int(h2.structures[0].nr_verts)
+
+
+def test_pack_key_pairs_order_and_roundtrip(rng):
+    # packed lex order must equal unpacked lex order, and unpack inverts pack
+    keys = rng.integers(-st.PACK_BOUND + 1, st.PACK_BOUND - 1, size=(500, 3)).astype(np.int32)
+    keys[:5] = st.SENTINEL  # sentinel rows stay sentinel and sort last
+    packed = np.asarray(st.pack_key_pairs(jnp.asarray(keys)))
+    back = np.asarray(st.unpack_key_pairs(jnp.asarray(packed), 3))
+    np.testing.assert_array_equal(back, keys)
+
+    def lexcmp(a, b):
+        return (tuple(a) < tuple(b)) if not np.array_equal(a, b) else False
+
+    for i in range(0, 480, 7):
+        a, b = keys[i], keys[i + 1]
+        assert lexcmp(a, b) == (tuple(packed[i]) < tuple(packed[i + 1])) or np.array_equal(a, b)
+
+
+def test_packed_table_matches_keys(rng):
+    pts = jnp.asarray(_cloud(rng, n=300))
+    s, _, _ = st.build_structure(pts, 0.5, 1024)
+    np.testing.assert_array_equal(
+        np.asarray(st.pack_key_pairs(s.keys)), np.asarray(s.keys2)
+    )
+
+
+def test_coarse_build_without_point_maps_matches(rng):
+    # need_point_maps=False must produce the identical key table
+    pts = jnp.asarray(_cloud(rng, n=400))
+    s_full, vid, bw = st.build_structure(pts, 1.0, 1024, lvl=1)
+    s_slim, vid2, bw2 = st.build_structure(pts, 1.0, 1024, lvl=1, need_point_maps=False)
+    assert vid2 is None and bw2 is None
+    assert vid is not None
+    np.testing.assert_array_equal(np.asarray(s_full.keys), np.asarray(s_slim.keys))
+    assert int(s_full.nr_verts) == int(s_slim.nr_verts)
