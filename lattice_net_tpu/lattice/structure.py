@@ -350,6 +350,7 @@ def build_structure_from_elevated(
     capacity: int,
     lvl: int,
     point_mask: jnp.ndarray | None = None,
+    need_point_maps: bool = True,
 ):
     """Build a lattice level from points already in elevated (H_d) coordinates.
 
@@ -360,7 +361,9 @@ def build_structure_from_elevated(
     d1 = elevated.shape[-1]
     keys, bary = permutohedral.splat_coords_elevated(elevated)
     sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (d1 - 1,))
-    s, vid, bw = _dedup_build(keys, bary, sigma, capacity, lvl, point_mask, False)
+    s, vid, bw = _dedup_build(
+        keys, bary, sigma, capacity, lvl, point_mask, False, need_point_maps
+    )
     return s, vid, bw
 
 
@@ -619,6 +622,62 @@ def default_capacity_schedule(capacity: int, nr_levels: int, minimum: int = 256)
     return tuple(max(minimum, capacity >> lvl) for lvl in range(nr_levels + 1))
 
 
+def _simplex_reps(
+    positions: jnp.ndarray,
+    sigma: jnp.ndarray,
+    splat_idx: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    cap0: int,
+    s_cap: int,
+):
+    """One representative point per occupied level-0 simplex (alcove).
+
+    The permutohedral triangulations at sigma and 2*sigma are nested (the
+    2-sigma cut planes are the even subset of the sigma ones), so every
+    level-0 alcove lies inside exactly ONE alcove of every coarser level.
+    Hence the coarse vertex set is a function of the set of OCCUPIED level-0
+    alcoves — the coarse re-splat only needs one interior point per alcove
+    (its barycenter) instead of all N points (validated exactly in
+    tests/test_sorted_ops.py::test_simplex_coarse_matches_resplat).
+
+    A simplex is identified by (remainder-0 vertex id, rank permutation)
+    packed into one int32.  Returns:
+      reps: (s_cap,) int32 point index per unique simplex (invalid = N).
+      bary_elev: (s_cap, d+1) float32 barycenter in LEVEL-0 elevated coords.
+      overflow: () int32 — unique simplices beyond s_cap (0 in sane configs).
+    """
+    n, d = positions.shape
+    bpe = max(1, d.bit_length())  # bits per rank entry (rank in [0, d])
+    elev0 = permutohedral.elevate(positions / sigma)
+    _, rank, _ = permutohedral.find_enclosing_simplex(elev0)
+    w = jnp.asarray([1 << (bpe * i) for i in range(d + 1)], jnp.int32)
+    packed_rank = jnp.sum(rank * w, axis=-1).astype(jnp.int32)
+    id0 = splat_idx[:, 0].astype(jnp.int32)
+    sig = id0 * jnp.int32(1 << (bpe * (d + 1))) + packed_rank
+    # level-0-overflowed points (id0 == cap0) keep exactness as singletons;
+    # masked padding points drop out entirely via the sentinel
+    sig = jnp.where(id0 < cap0, sig, jnp.int32(1_500_000_000) + jnp.arange(n, dtype=jnp.int32))
+    sig = jnp.where(point_mask, sig, SENTINEL)
+
+    ssig, sidx = lax.sort((sig, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    is_new = (ssig != SENTINEL) & jnp.concatenate(
+        [jnp.ones((1,), bool), ssig[1:] != ssig[:-1]]
+    )
+    rrank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    s_count = jnp.sum(is_new.astype(jnp.int32))
+    slot = jnp.where(is_new & (rrank < s_cap), rrank, s_cap)
+    reps = jnp.full((s_cap,), n, jnp.int32).at[slot].set(sidx, mode="drop")
+    overflow = s_count - jnp.minimum(s_count, s_cap)
+
+    rep_elev = jnp.take(elev0, jnp.minimum(reps, n - 1), axis=0)
+    rep_rem0, rep_rank, _ = permutohedral.find_enclosing_simplex(rep_elev)
+    rep_keys = permutohedral.vertex_keys(rep_rem0, rep_rank)  # (s_cap, d+1, d)
+    full = jnp.concatenate([rep_keys, -jnp.sum(rep_keys, -1, keepdims=True)], -1)
+    # exact in f32 for d=3 (sum of small ints / 4)
+    bary_elev = jnp.mean(full.astype(jnp.float32), axis=1)  # (s_cap, d+1)
+    return reps, bary_elev, overflow
+
+
 def build_hierarchy(
     positions: jnp.ndarray,
     sigma: Any,
@@ -626,19 +685,26 @@ def build_hierarchy(
     capacities: Sequence[int],
     point_mask: jnp.ndarray | None = None,
     coarse_from_vertices: bool = False,
+    coarse_mode: str | None = None,
 ) -> LatticeHierarchy:
     """Build every level + every index table the U-Net forward needs.
 
-    By default each coarse level re-splats the raw positions at sigma * 2^l —
-    the ``create_coarse_verts_naive`` strategy the reference model uses
-    (``src/Lattice.cu:706-740``).  ``coarse_from_vertices=True`` instead
-    splats the previous level's UNIQUE VERTICES (a level-l key is an integer
-    elevated point and key/2 is exactly its level-(l+1) elevated coordinate),
-    cutting each coarse sort from N(d+1) to capacity_(l-1)*(d+1) edges —
-    attractive when points far outnumber vertices (e.g. ScanNet).  It is an
-    APPROXIMATION: measured on random clouds it misses ~8% of the coarse
-    vertices the reference creates that have non-empty coarsen patches
-    (tests/test_sorted_ops quantifies this), so it defaults off.
+    Coarse-level strategies (``coarse_mode``):
+
+    * ``"resplat"`` — re-splat the raw positions at sigma * 2^l, the
+      ``create_coarse_verts_naive`` strategy the reference model uses
+      (``src/Lattice.cu:706-740``).  Bit-exact reference parity.
+    * ``"simplex"`` (auto-default for d == 3) — re-splat only ONE barycenter
+      per occupied level-0 simplex: the nested-triangulation property makes
+      this produce the same coarse key set while sorting ~2-8x fewer rows
+      (see :func:`_simplex_reps`).  Differs from "resplat" only by float-ulp
+      rounding of the elevation (it halves the level-0 elevated coords
+      instead of re-elevating halved positions); if the number of unique
+      simplices ever exceeds the rep budget, a ``lax.cond`` falls back to
+      the full re-splat — never silently dropping vertices.
+    * ``"vertices"`` — legacy opt-in APPROXIMATION (splats the previous
+      level's unique vertices; misses ~8% of reachable coarse vertices,
+      quantified in tests/test_sorted_ops).
 
     Args:
       positions: (N, d) float32 raw positions.
@@ -646,6 +712,7 @@ def build_hierarchy(
       nr_levels: number of coarsenings (= model nr_downsamples).
       capacities: per-level vertex capacities, len nr_levels+1.
       point_mask: optional (N,) bool padding mask.
+      coarse_from_vertices: back-compat alias for coarse_mode="vertices".
     """
     n, d = positions.shape
     if len(capacities) != nr_levels + 1:
@@ -653,12 +720,24 @@ def build_hierarchy(
     if point_mask is None:
         point_mask = jnp.ones((n,), dtype=bool)
 
+    if coarse_mode is None:
+        coarse_mode = "vertices" if coarse_from_vertices else "auto"
+    if coarse_mode == "auto":
+        bpe = max(1, d.bit_length())
+        sig_bits = bpe * (d + 1) + (int(capacities[0]) + 1).bit_length()
+        # <= 30 keeps every valid signature below the 1.5e9 singleton range
+        # used for level-0-overflowed points (see _simplex_reps)
+        coarse_mode = "simplex" if (d == 3 and sig_bits <= 30) else "resplat"
+    if coarse_mode not in ("resplat", "simplex", "vertices"):
+        raise ValueError(f"unknown coarse_mode {coarse_mode!r}")
+
     sigma = jnp.broadcast_to(jnp.asarray(sigma, positions.dtype), (d,))
 
     structures = []
     splat_idx = splat_w = edges = None
+    reps_pack = None
     for lvl in range(nr_levels + 1):
-        if lvl > 0 and coarse_from_vertices:
+        if lvl > 0 and coarse_mode == "vertices":
             prev = structures[-1]
             occ = prev.occupancy_mask()
             k = jnp.where(occ[:, None], prev.keys, 0)
@@ -669,6 +748,42 @@ def build_hierarchy(
                 int(capacities[lvl]),
                 lvl=lvl,
                 point_mask=occ,
+                need_point_maps=False,
+            )
+            structures.append(s)
+            continue
+        if lvl > 0 and coarse_mode == "simplex":
+            if reps_pack is None:
+                s_cap = min(n, int(capacities[0]))
+                reps_pack = _simplex_reps(
+                    positions, sigma, splat_idx, point_mask, int(capacities[0]), s_cap
+                )
+            reps, bary_elev, rep_overflow = reps_pack
+
+            def _reduced(operand, lvl=lvl):
+                bary, rmask = operand
+                s, _, _ = build_structure_from_elevated(
+                    bary / (2.0**lvl),
+                    sigma * (2.0**lvl),
+                    int(capacities[lvl]),
+                    lvl=lvl,
+                    point_mask=rmask,
+                    need_point_maps=False,
+                )
+                return s
+
+            def _full(operand, lvl=lvl):
+                return build_structure(
+                    positions,
+                    sigma * (2.0**lvl),
+                    int(capacities[lvl]),
+                    lvl=lvl,
+                    point_mask=point_mask,
+                    need_point_maps=False,
+                )[0]
+
+            s = lax.cond(
+                rep_overflow == 0, _reduced, _full, (bary_elev, reps < n)
             )
             structures.append(s)
             continue

@@ -197,9 +197,11 @@ def test_coarse_from_vertices_covers_reference_patches():
     sigma = 0.2
 
     h_proxy = build_hierarchy(pos, sigma, 1, (2048, 1024), coarse_from_vertices=True)
-    h_ref = build_hierarchy(pos, sigma, 1, (2048, 1024), coarse_from_vertices=False)
+    # resplat mode is the bit-exact reference-parity path (the default
+    # simplex mode matches it up to elevation rounding; tested separately)
+    h_ref = build_hierarchy(pos, sigma, 1, (2048, 1024), coarse_mode="resplat")
 
-    # parity flag == direct re-splat of positions at 2 sigma
+    # parity mode == direct re-splat of positions at 2 sigma
     s_direct, _, _ = build_structure(pos, sigma * 2, 1024, lvl=1)
     np.testing.assert_array_equal(
         np.asarray(h_ref.structures[1].keys), np.asarray(s_direct.keys)

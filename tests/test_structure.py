@@ -200,3 +200,42 @@ def test_coarse_build_without_point_maps_matches(rng):
     assert vid is not None
     np.testing.assert_array_equal(np.asarray(s_full.keys), np.asarray(s_slim.keys))
     assert int(s_full.nr_verts) == int(s_slim.nr_verts)
+
+
+def test_simplex_coarse_matches_resplat(rng):
+    # the nested-triangulation reduction must reproduce the resplat coarse
+    # key SET exactly on these deterministic clouds (d=3)
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        pts = jnp.asarray(r.normal(size=(4000, 3)).astype(np.float32) * r.uniform(1, 4))
+        h_fast = st.build_hierarchy(pts, 0.3, 2, (4096, 2048, 1024), coarse_mode="simplex")
+        h_ref = st.build_hierarchy(pts, 0.3, 2, (4096, 2048, 1024), coarse_mode="resplat")
+        for lvl in (1, 2):
+            a, b = h_fast.structures[lvl], h_ref.structures[lvl]
+            assert int(a.nr_verts) == int(b.nr_verts), f"seed {seed} lvl {lvl}"
+            np.testing.assert_array_equal(
+                np.asarray(a.keys), np.asarray(b.keys), err_msg=f"seed {seed} lvl {lvl}"
+            )
+
+
+def test_simplex_coarse_point_mask(rng):
+    # masked points must not create coarse vertices in simplex mode
+    pts = jnp.asarray(_cloud(rng, n=600))
+    mask = jnp.arange(600) < 300
+    h_fast = st.build_hierarchy(pts, 0.5, 1, (2048, 1024), point_mask=mask, coarse_mode="simplex")
+    h_ref = st.build_hierarchy(pts, 0.5, 1, (2048, 1024), point_mask=mask, coarse_mode="resplat")
+    np.testing.assert_array_equal(
+        np.asarray(h_fast.structures[1].keys), np.asarray(h_ref.structures[1].keys)
+    )
+
+
+def test_simplex_reps_overflow_falls_back(rng):
+    # force the rep budget below the unique-simplex count: the lax.cond must
+    # take the full-resplat branch and still produce the exact key table
+    pts = jnp.asarray(_cloud(rng, n=400, scale=6.0))
+    caps = (64, 512)  # s_cap = min(n, caps[0]) = 64 << unique simplices
+    h_fast = st.build_hierarchy(pts, 0.4, 1, caps, coarse_mode="simplex")
+    h_ref = st.build_hierarchy(pts, 0.4, 1, caps, coarse_mode="resplat")
+    np.testing.assert_array_equal(
+        np.asarray(h_fast.structures[1].keys), np.asarray(h_ref.structures[1].keys)
+    )
