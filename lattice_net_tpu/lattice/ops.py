@@ -202,6 +202,13 @@ def seg_max_sorted(vals_sorted: jnp.ndarray, carry_sorted: jnp.ndarray, edges, c
     """
     m, c = vals_sorted.shape
     ids = edges.vertex
+    from lattice_net_tpu.ops_tpu import segment as _seg
+
+    if _seg.seg_max_pallas_available(c):
+        # Pallas scan+extract kernel: 27.5 -> ~4 ms at 524k x 32 (v5e); the
+        # XLA formulation below stays as CPU/test reference.  Max values may
+        # differ from exact by ~1 ulp of the global min (positivity shift).
+        return _seg.seg_max_carry_sorted_fast(vals_sorted, carry_sorted, ids, capacity)
     neg = jnp.finfo(vals_sorted.dtype).min
     maxed = (
         jnp.full((capacity, c), neg, vals_sorted.dtype)

@@ -498,13 +498,18 @@ def build_neighbors_same_level(structure: LatticeStructure) -> jnp.ndarray:
     halving the lookup volume (lookups were the top cost of the round-1
     hierarchy build).
     """
+    from lattice_net_tpu.ops_tpu.lookup import monotone_lookup
+
     d = structure.pos_dim
     cap = structure.capacity
     moves = jnp.asarray(_axis_moves_np(d))  # (d+1, d)
     keys = structure.keys  # (C, d)
-    occ = structure.occupancy_mask()[:, None]
-    idx_p = structure.merge_lookup(keys[:, None, :] + moves[None])  # (C, d+1)
-    idx_p = jnp.where(occ, idx_p, cap)
+    occ1 = structure.occupancy_mask()
+    occ = occ1[:, None]
+    # every query column is sorted (sorted keys + constant move), so the
+    # Pallas windowed merge-count lookup applies; it handles invalid rows
+    # and falls back to merge_lookup off-TPU / on window overflow
+    idx_p = monotone_lookup(structure, keys[:, None, :] + moves[None], occ1)
 
     # reciprocal '-' table: idx_m[u, a] = v wherever idx_p[v, a] = u.  Each
     # (u, a) has at most one v (v's key is u's key minus the move), so the
@@ -533,19 +538,24 @@ def build_neighbors_coarse_from_fine(
     the centre 2k.  Follows the scale>=1 branch of the reference's cross-level
     im2row (``LatticeGPU.cuh:1488-1560``), centre stored last.
     """
+    from lattice_net_tpu.ops_tpu.lookup import monotone_lookup
+
     d = coarse.pos_dim
     moves = jnp.asarray(_axis_moves_np(d))
-    base = coarse.keys * 2  # (C, d)
-    # one merged lookup for all 2(d+1)+1 candidate keys
+    occ1 = coarse.occupancy_mask()
+    # sanitize sentinel rows before doubling (SENTINEL * 2 wraps int32);
+    # monotone_lookup masks them to capacity anyway
+    base = jnp.where(occ1[:, None], coarse.keys, 0) * 2  # (C, d)
+    # one windowed lookup for all 2(d+1)+1 candidate keys (columns sorted)
     cand = jnp.concatenate(
         [base[:, None, :] + moves[None], base[:, None, :] - moves[None], base[:, None, :]],
         axis=1,
     )  # (C, 2(d+1)+1, d) in [+moves..., -moves..., centre] order
-    idx = fine.merge_lookup(cand)
+    idx = monotone_lookup(fine, cand, occ1)
     d1 = d + 1
     idx_p, idx_m, center = idx[:, :d1], idx[:, d1 : 2 * d1], idx[:, 2 * d1]
     nbr = jnp.concatenate([_interleave_neighbors(idx_p, idx_m), center[:, None]], axis=-1)
-    occ = coarse.occupancy_mask()[:, None]
+    occ = occ1[:, None]
     return jnp.where(occ, nbr, fine.capacity)
 
 

@@ -299,3 +299,191 @@ def _seg_broadcast_bwd(res, g):
 
 
 seg_broadcast_sorted_fast.defvjp(_seg_broadcast_fwd, _seg_broadcast_bwd)
+
+
+# ---------------------------------------------------------------------------
+# segmented max + winner-carry over PRE-SORTED dense runs
+#
+# PointNet's per-vertex max pool with the barycentric weight of the winning
+# edge per (vertex, channel).  The XLA formulation (scatter-max + winner
+# matching + carry gather) costs ~27.5 ms at 524k x 32 on v5e (row-latency
+# bound, 4 passes).  Here: per subtile of T edges, an in-register segmented
+# Hillis-Steele max-scan (log2 T doubling steps of rolls + selects) leaves
+# each run's partial max (and its carry) at the run's LAST in-subtile edge;
+# a last-edge one-hot matmul (HIGHEST precision - exact for selections)
+# extracts them into a (C, range-block) window accumulator combined with
+# elementwise max.  Values are pre-shifted by (1 - global min) so "absent"
+# accumulator zeros never beat real entries; the shift is undone on the way
+# out (~1 ulp of the min's magnitude, documented).
+# ---------------------------------------------------------------------------
+
+
+def _seg_max_kernel(bshift_ref, ids_ref, vals_ref, carry_ref, outv_ref, outc_ref):
+    r = pl.program_id(0)
+    t = pl.program_id(1)
+    cap_r = outv_ref.shape[2] - 2 * TILE
+    base = r * cap_r
+    cap = cap_r * pl.num_programs(0)
+    c = vals_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        outv_ref[:] = jnp.zeros_like(outv_ref)
+        outc_ref[:] = jnp.zeros_like(outc_ref)
+
+    bshift = bshift_ref[0, 0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE, c), 0)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+
+    for k in range(K):
+        ids = ids_ref[k, :, 0]  # (T,)
+        intersects = (ids[TILE - 1] >= base) & (ids[0] < base + cap_r)
+
+        @pl.when(intersects)
+        def _(k=k, ids=ids):
+            idc = ids_ref[k]  # (T, 1)
+            v = vals_ref[k].astype(jnp.float32) + bshift  # (T, C), >= 1 strictly
+            cr = jnp.broadcast_to(carry_ref[k], (TILE, c))  # (T, C)
+
+            # segmented inclusive max-scan along the subtile
+            for s in (1, 2, 4, 8, 16, 32, 64, 128):
+                pv = pltpu.roll(v, s, 0)
+                pc = pltpu.roll(cr, s, 0)
+                pid = pltpu.roll(idc, s, 0)
+                same = (pid == idc) & (row1 >= s)  # (T, 1)
+                take = jnp.broadcast_to(same, (TILE, c)) & (pv > v)
+                v = jnp.where(take, pv, v)
+                cr = jnp.where(take, pc, cr)
+
+            # last in-subtile edge of each run
+            nid = pltpu.roll(idc, TILE - 1, 0)  # circular -1
+            is_last = (nid != idc) | (row1 == TILE - 1)  # (T, 1)
+
+            ws = jnp.clip(ids[0], base, base + cap_r - 1)
+            off = pl.multiple_of((ws - base) // TILE * TILE, TILE)
+            lid = ids - (base + off)
+            sel = (ids >= base) & (ids < jnp.minimum(base + cap_r, cap))
+            onehot = (
+                (lid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (TILE, 2 * TILE), 1))
+                & sel[:, None]
+                & is_last
+            ).astype(jnp.float32)  # (T, 2T)
+            dn = (((0,), (0,)), ((), ()))
+            pv = jax.lax.dot_general(  # (C, 2T): exact (selection of f32)
+                v, onehot, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            pc = jax.lax.dot_general(
+                cr, onehot, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            curv = outv_ref[0, :, pl.ds(off, 2 * TILE)]
+            curc = outc_ref[0, :, pl.ds(off, 2 * TILE)]
+            take = pv >= curv  # later subtile wins ties (= latest edge rule)
+            outv_ref[0, :, pl.ds(off, 2 * TILE)] = jnp.where(take, pv, curv)
+            outc_ref[0, :, pl.ds(off, 2 * TILE)] = jnp.where(take, pc, curc)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def _seg_max_pallas_impl(vals, carry, ids, cap: int, interpret: bool = False):
+    m, c = vals.shape
+    nt = -(-m // STEP)
+    pad = nt * STEP - m
+    if pad:
+        ids = jnp.concatenate([ids, jnp.full((pad,), cap, ids.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, c), vals.dtype)])
+        carry = jnp.concatenate([carry, jnp.zeros((pad,), carry.dtype)])
+    # two f32 accumulators -> half the usual row budget per range block
+    r = 1
+    while r <= 64 and not (cap % r == 0 and (cap // r + 2 * TILE) * max(c, 8) * 8 <= VMEM_BUDGET):
+        r *= 2
+    assert r <= 64, "capacity too large for seg-max range blocks"
+    cap_r = cap // r
+    bshift = (1.0 - jnp.min(vals.astype(jnp.float32))).reshape(1, 1)
+
+    outv, outc = pl.pallas_call(
+        _seg_max_kernel,
+        grid=(r, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda r_i, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, TILE, 1), lambda r_i, t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TILE, c), lambda r_i, t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TILE, 1), lambda r_i, t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c, cap_r + 2 * TILE), lambda r_i, t: (r_i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, cap_r + 2 * TILE), lambda r_i, t: (r_i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, c, cap_r + 2 * TILE), jnp.float32),
+            jax.ShapeDtypeStruct((r, c, cap_r + 2 * TILE), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        bshift,
+        ids.reshape(nt * K, TILE, 1),
+        vals.astype(jnp.float32).reshape(nt * K, TILE, c),
+        carry.astype(jnp.float32).reshape(nt * K, TILE, 1),
+    )
+    maxv = outv[:, :, :cap_r].transpose(0, 2, 1).reshape(cap, c)
+    maxc = outc[:, :, :cap_r].transpose(0, 2, 1).reshape(cap, c)
+    present = maxv > 0.0  # shifted values are >= 1 strictly
+    maxed = jnp.where(present, maxv - bshift[0, 0], 0.0)
+    # maxv (the exact shifted-domain table) feeds the bit-exact winner match
+    # in the custom VJP; maxed alone cannot (the unshift rounds)
+    return maxed, jnp.where(present, maxc, 0.0), maxv, bshift[0, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def seg_max_carry_sorted_fast(vals, carry, ids, cap: int):
+    """(maxed, carry_of_winner) per dense sorted segment; empty rows -> 0.
+
+    The max is recovered through a positivity shift and may differ from
+    exact by ~1 ulp of the global min; tie-breaking follows the latest-edge
+    rule (same as the XLA formulation in ops.seg_max_sorted).
+    """
+    maxed, carry_out, _, _ = _seg_max_pallas_impl(vals, carry, ids, cap)
+    return maxed.astype(vals.dtype), carry_out.astype(vals.dtype)
+
+
+def _seg_max_fast_fwd(vals, carry, ids, cap):
+    maxed, carry_out, maxv_sh, bshift = _seg_max_pallas_impl(vals, carry, ids, cap)
+    out = (maxed.astype(vals.dtype), carry_out.astype(vals.dtype))
+    return out, (vals, ids, maxv_sh, bshift)
+
+
+def _seg_max_fast_bwd(cap, res, cts):
+    """Route cotangents to each (vertex, channel)'s winning edge.
+
+    Winner matching compares in the same shifted f32 domain the kernel used,
+    so the match is bit-exact; ties resolve to the latest edge (argpos max),
+    matching both the kernel accumulator and the reference's semantics.
+    """
+    vals, ids, maxv_sh, bshift = res
+    g_max, g_carry = cts
+    m, c = vals.shape
+    valid = (ids < cap)[:, None]
+    vp = vals.astype(jnp.float32) + bshift  # same expression as the kernel
+    gathered = jnp.take(maxv_sh, jnp.minimum(ids, cap - 1), axis=0)
+    is_win = (vp == gathered) & valid
+    row_pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None], (m, c))
+    argpos = (
+        jnp.full((cap, c), -1, jnp.int32)
+        .at[ids]
+        .max(jnp.where(is_win, row_pos, -1), mode="drop", indices_are_sorted=True)
+    )
+    winner = jnp.take(argpos, jnp.minimum(ids, cap - 1), axis=0) == row_pos
+    gm = jnp.take(g_max, jnp.minimum(ids, cap - 1), axis=0)
+    gc = jnp.take(g_carry, jnp.minimum(ids, cap - 1), axis=0)
+    d_vals = jnp.where(winner, gm, 0.0).astype(vals.dtype)
+    d_carry = jnp.sum(jnp.where(winner, gc, 0.0), axis=1).astype(vals.dtype)
+    return d_vals, d_carry, None
+
+
+seg_max_carry_sorted_fast.defvjp(_seg_max_fast_fwd, _seg_max_fast_bwd)
+
+
+def seg_max_pallas_available(c: int) -> bool:
+    return _use_pallas() and c >= 8

@@ -79,3 +79,107 @@ def test_custom_vjp_matches_xla_ad():
     proto = jnp.zeros((s.capacity, 0), vals.dtype)
     dv_fast = pk._patch_gather_bwd(True, (proto, nbr), g)[0]
     np.testing.assert_allclose(np.asarray(dv_ref), np.asarray(dv_fast), rtol=1e-5, atol=1e-5)
+
+
+def test_monotone_lookup_matches_lookup():
+    from lattice_net_tpu.ops_tpu import lookup as lk
+    from lattice_net_tpu.lattice.structure import _axis_moves_np
+
+    h = _hier(n=5000, sigma=0.3, caps=(1024, 512))
+    s = h.structures[0]
+    moves = jnp.asarray(_axis_moves_np(3))
+    occ = s.occupancy_mask()
+    queries = s.keys[:, None, :] + moves[None]  # (cap, 4, 3)
+    ref = jnp.where(occ[:, None], s.lookup(queries), s.capacity)
+    got = lk.monotone_lookup(s, queries, occ, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_monotone_lookup_cross_level():
+    from lattice_net_tpu.ops_tpu import lookup as lk
+    from lattice_net_tpu.lattice.structure import _axis_moves_np
+
+    h = _hier(n=5000, sigma=0.3, caps=(1024, 512))
+    fine, coarse = h.structures
+    moves = jnp.asarray(_axis_moves_np(3))
+    occ = coarse.occupancy_mask()
+    base = jnp.where(occ[:, None], coarse.keys, 0) * 2
+    cand = jnp.concatenate(
+        [base[:, None, :] + moves[None], base[:, None, :] - moves[None], base[:, None, :]],
+        axis=1,
+    )
+    ref = jnp.where(occ[:, None], fine.lookup(cand), fine.capacity)
+    got = lk.monotone_lookup(fine, cand, occ, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def _edges_fixture(n=3000, cap=1024):
+    h = _hier(n=n, sigma=0.35, caps=(cap, cap // 2))
+    return h.edges, cap
+
+
+def test_seg_max_kernel_matches_xla():
+    from lattice_net_tpu.ops_tpu import segment as sg
+
+    edges, cap = _edges_fixture()
+    m = edges.vertex.shape[0]
+    rng = np.random.default_rng(5)
+    # integer-valued floats: the positivity shift is exact, ties deterministic
+    vals = jnp.asarray(rng.integers(-50, 50, size=(m, 16)).astype(np.float32))
+    carry = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+
+    maxed, carry_out, _, _ = sg._seg_max_pallas_impl(
+        vals, carry, edges.vertex, cap, interpret=True
+    )
+
+    maxed_ref, argsrc = lops.segment_max_with_src(vals, edges.vertex, cap)
+    carry_ref = jnp.where(
+        argsrc < m, jnp.take(carry, jnp.minimum(argsrc, m - 1)), 0.0
+    )
+    np.testing.assert_array_equal(np.asarray(maxed), np.asarray(maxed_ref))
+    np.testing.assert_array_equal(np.asarray(carry_out), np.asarray(carry_ref))
+
+
+def test_seg_max_kernel_float_tolerance():
+    from lattice_net_tpu.ops_tpu import segment as sg
+
+    edges, cap = _edges_fixture()
+    m = edges.vertex.shape[0]
+    rng = np.random.default_rng(6)
+    vals = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32) * 3)
+    carry = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+    maxed, _, _, _ = sg._seg_max_pallas_impl(vals, carry, edges.vertex, cap, interpret=True)
+    maxed_ref, _ = lops.segment_max_with_src(vals, edges.vertex, cap)
+    np.testing.assert_allclose(np.asarray(maxed), np.asarray(maxed_ref), atol=1e-5, rtol=1e-6)
+
+
+def test_seg_max_fast_bwd_matches_xla_ad():
+    from lattice_net_tpu.ops_tpu import segment as sg
+
+    edges, cap = _edges_fixture()
+    m = edges.vertex.shape[0]
+    rng = np.random.default_rng(7)
+    # continuous values: tie-free, so every gradient routing rule agrees
+    # (on ties our kernel follows torch_scatter's latest-edge rule, which
+    # differs from XLA scatter-max AD's even split)
+    vals = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32))
+    carry = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+    gm = jnp.asarray(rng.normal(size=(cap, 8)).astype(np.float32))
+    gc = jnp.asarray(rng.normal(size=(cap, 8)).astype(np.float32))
+
+    def xla_op(v, cr):
+        maxed, argsrc = lops.segment_max_with_src(v, edges.vertex, cap)
+        carry_out = jnp.where(argsrc < m, jnp.take(cr, jnp.minimum(argsrc, m - 1)), 0.0)
+        return maxed, carry_out
+
+    _, vjp = jax.vjp(xla_op, vals, carry)
+    dv_ref, dc_ref = vjp((gm, gc))
+
+    maxed, carry_out, maxv_sh, bshift = sg._seg_max_pallas_impl(
+        vals, carry, edges.vertex, cap, interpret=True
+    )
+    dv, dc, _ = sg._seg_max_fast_bwd(
+        cap, (vals, edges.vertex, maxv_sh, bshift), (gm, gc)
+    )
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dc), np.asarray(dc_ref), atol=1e-6)
