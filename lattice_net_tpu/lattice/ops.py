@@ -88,6 +88,32 @@ def gather_rows(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         out = jnp.take(values, jnp.minimum(flat, values.shape[0] - 1), axis=0)
     return out.reshape(idx.shape + values.shape[1:])
 
+
+def _maybe_bf16(values: jnp.ndarray) -> jnp.ndarray:
+    """bf16 on TPU unless LNT_CONV_DTYPE=f32 (same policy as conv_im2row)."""
+    conv_dt = os.environ.get("LNT_CONV_DTYPE", "")
+    if conv_dt == "bf16" or (conv_dt != "f32" and _fast_ops()):
+        return values.astype(jnp.bfloat16)
+    return values
+
+
+def gather_rows_clustered(values: jnp.ndarray, idx2: jnp.ndarray) -> jnp.ndarray:
+    """(cap, C) x (N, K) -> (N, K, C) with zeros for idx >= cap.
+
+    Routes through the Pallas windowed patch kernel when the index columns
+    are clustered (canonically-ordered points make per-point splat indices
+    so); the kernel's coverage cond falls back to the plain gather
+    otherwise, so this is always safe to call.
+    """
+    cap = values.shape[0]
+    if _fast_ops():
+        from lattice_net_tpu.ops_tpu import patch as _patch
+
+        if _patch.patch_gather_supported(values, idx2):
+            return _patch.patch_gather(values, idx2, False)
+    out = gather_rows(values, idx2)
+    return jnp.where((idx2 < cap)[..., None], out, 0.0)
+
 __all__ = [
     "splat",
     "distribute",
@@ -568,7 +594,7 @@ def slice_lattice(
     sum_r w_pr * values[idx_pr], with missing vertices contributing zero.
     """
     capacity = values.shape[0]
-    v = gather_rows(values, splat_idx)  # (N, d+1, C)
+    v = gather_rows_clustered(_maybe_bf16(values), splat_idx)  # (N, d+1, C)
     w = jnp.where(splat_idx < capacity, splat_weights, 0.0)
     return jnp.sum(v * w[..., None], axis=1)
 
@@ -587,7 +613,7 @@ def gather_lattice(
     """
     capacity, c = values.shape
     n, d1 = splat_idx.shape
-    v = gather_rows(values, splat_idx)  # (N, d+1, C)
+    v = gather_rows_clustered(_maybe_bf16(values), splat_idx)  # (N, d+1, C)
     w = jnp.where(splat_idx < capacity, splat_weights, 0.0)  # (N, d+1)
     blocks = jnp.concatenate([v * w[..., None], w[..., None]], axis=-1)
     return blocks.reshape(n, d1 * (c + 1))
@@ -618,7 +644,7 @@ def slice_classify(
     Returns: (N, nr_classes) logits.
     """
     capacity = values.shape[0]
-    v = gather_rows(values, splat_idx)  # (N, d+1, C)
+    v = gather_rows_clustered(_maybe_bf16(values), splat_idx)  # (N, d+1, C)
     valid = splat_idx < capacity
     w = jnp.where(valid, splat_weights + delta_weights, 0.0)
     sliced = jnp.sum(v * w[..., None], axis=1)  # (N, C)

@@ -360,7 +360,7 @@ def build_structure_from_elevated(
     """
     d1 = elevated.shape[-1]
     keys, bary = permutohedral.splat_coords_elevated(elevated)
-    sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (d1 - 1,))
+    sigma = jnp.broadcast_to(jnp.asarray(sigma), (d1 - 1,)).astype(elevated.dtype)
     s, vid, bw = _dedup_build(
         keys, bary, sigma, capacity, lvl, point_mask, False, need_point_maps
     )
@@ -632,15 +632,43 @@ def default_capacity_schedule(capacity: int, nr_levels: int, minimum: int = 256)
     return tuple(max(minimum, capacity >> lvl) for lvl in range(nr_levels + 1))
 
 
+def canonical_point_order(positions: jnp.ndarray, sigma: Any) -> jnp.ndarray:
+    """Permutation sorting points by (level-0 simplex, rank) — "sig order".
+
+    Feeding the pipeline canonically-ordered points makes every per-point
+    index stream CLUSTERED: points of the same/adjacent simplices are
+    contiguous, so their splat indices (head gathers) and the edge->point
+    map (distribute) stay inside small windows — unlocking the Pallas
+    windowed gathers — and the simplex-rep dedup needs no further sort.
+    The order equals the (id0, rank) signature order of ``_simplex_reps``
+    because remainder-0 keys equal rem0 and table ids are assigned in key
+    order.  Purely a performance transform: the lattice is permutation
+    invariant (labels/outputs must be permuted alongside).
+    """
+    n, d = positions.shape
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, positions.dtype), (d,))
+    elev = permutohedral.elevate(positions / sigma)
+    rem0, rank, _ = permutohedral.find_enclosing_simplex(elev)
+    bpe = max(1, d.bit_length())
+    w = jnp.asarray([1 << (bpe * i) for i in range(d + 1)], jnp.int32)
+    rankpack = jnp.sum(rank * w, axis=-1).astype(jnp.int32)
+    key = pack_key_pairs(rem0[..., :d])  # (n, ceil(d/2)) lex == rem0 lex
+    last = key[:, -1] * jnp.int32(1 << (bpe * (d + 1))) + rankpack if d % 2 else rankpack
+    cols = tuple(key[:, i] for i in range(key.shape[1] - (1 if d % 2 else 0))) + (last,)
+    sorted_ = lax.sort(cols + (jnp.arange(n, dtype=jnp.int32),), num_keys=len(cols))
+    return sorted_[-1]
+
+
 def _simplex_reps(
     positions: jnp.ndarray,
     sigma: jnp.ndarray,
     splat_idx: jnp.ndarray,
     point_mask: jnp.ndarray,
-    cap0: int,
+    structure0: "LatticeStructure",
     s_cap: int,
+    assume_sorted: bool = False,
 ):
-    """One representative point per occupied level-0 simplex (alcove).
+    """One barycenter per occupied level-0 simplex (alcove).
 
     The permutohedral triangulations at sigma and 2*sigma are nested (the
     2-sigma cut planes are the even subset of the sigma ones), so every
@@ -651,41 +679,58 @@ def _simplex_reps(
     tests/test_sorted_ops.py::test_simplex_coarse_matches_resplat).
 
     A simplex is identified by (remainder-0 vertex id, rank permutation)
-    packed into one int32.  Returns:
-      reps: (s_cap,) int32 point index per unique simplex (invalid = N).
-      bary_elev: (s_cap, d+1) float32 barycenter in LEVEL-0 elevated coords.
-      overflow: () int32 — unique simplices beyond s_cap (0 in sane configs).
+    packed into one int32, and its barycenter decodes in closed form:
+    ``bary = rem0 + d/2 - rank`` per elevated coordinate (mean of the d+1
+    vertex keys; exact, tests/test_structure).  So the dedup sorts ONE int32
+    column with no payload, and no representative points are tracked at all.
+
+    Returns:
+      valid: (s_cap,) bool — slot holds a unique occupied simplex.
+      bary_elev: (s_cap, d+1) barycenter in LEVEL-0 elevated coords.
+      overflow: () int32 — nonzero forces the resplat fallback (slots
+        exhausted, or level-0 table overflow made signatures undecodable).
     """
     n, d = positions.shape
+    cap0 = structure0.capacity
     bpe = max(1, d.bit_length())  # bits per rank entry (rank in [0, d])
     elev0 = permutohedral.elevate(positions / sigma)
     _, rank, _ = permutohedral.find_enclosing_simplex(elev0)
     w = jnp.asarray([1 << (bpe * i) for i in range(d + 1)], jnp.int32)
     packed_rank = jnp.sum(rank * w, axis=-1).astype(jnp.int32)
+    rbits = bpe * (d + 1)
     id0 = splat_idx[:, 0].astype(jnp.int32)
-    sig = id0 * jnp.int32(1 << (bpe * (d + 1))) + packed_rank
-    # level-0-overflowed points (id0 == cap0) keep exactness as singletons;
-    # masked padding points drop out entirely via the sentinel
-    sig = jnp.where(id0 < cap0, sig, jnp.int32(1_500_000_000) + jnp.arange(n, dtype=jnp.int32))
-    sig = jnp.where(point_mask, sig, SENTINEL)
+    sig = id0 * jnp.int32(1 << rbits) + packed_rank
+    # masked padding points drop out via the sentinel; level-0-overflowed
+    # points (id0 == cap0) have no decodable rem0 -> force the fallback
+    sig = jnp.where(point_mask & (id0 < cap0), sig, SENTINEL)
+    n_bad = jnp.sum((point_mask & (id0 >= cap0)).astype(jnp.int32))
 
-    ssig, sidx = lax.sort((sig, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    if assume_sorted:
+        # canonical point order (see canonical_point_order): sig is already
+        # nondecreasing — run detection needs no sort
+        ssig = sig
+    else:
+        (ssig,) = lax.sort((sig,), num_keys=1)
     is_new = (ssig != SENTINEL) & jnp.concatenate(
         [jnp.ones((1,), bool), ssig[1:] != ssig[:-1]]
     )
     rrank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     s_count = jnp.sum(is_new.astype(jnp.int32))
     slot = jnp.where(is_new & (rrank < s_cap), rrank, s_cap)
-    reps = jnp.full((s_cap,), n, jnp.int32).at[slot].set(sidx, mode="drop")
-    overflow = s_count - jnp.minimum(s_count, s_cap)
+    usig = jnp.full((s_cap,), SENTINEL, jnp.int32).at[slot].set(ssig, mode="drop")
+    overflow = s_count - jnp.minimum(s_count, s_cap) + n_bad
 
-    rep_elev = jnp.take(elev0, jnp.minimum(reps, n - 1), axis=0)
-    rep_rem0, rep_rank, _ = permutohedral.find_enclosing_simplex(rep_elev)
-    rep_keys = permutohedral.vertex_keys(rep_rem0, rep_rank)  # (s_cap, d+1, d)
-    full = jnp.concatenate([rep_keys, -jnp.sum(rep_keys, -1, keepdims=True)], -1)
-    # exact in f32 for d=3 (sum of small ints / 4)
-    bary_elev = jnp.mean(full.astype(jnp.float32), axis=1)  # (s_cap, d+1)
-    return reps, bary_elev, overflow
+    valid = usig != SENTINEL
+    uid0 = jnp.where(valid, usig >> rbits, 0)
+    urank_packed = jnp.where(valid, usig & ((1 << rbits) - 1), 0)
+    shifts = jnp.asarray([bpe * i for i in range(d + 1)], jnp.int32)
+    urank = (urank_packed[:, None] >> shifts[None, :]) & ((1 << bpe) - 1)  # (s_cap, d+1)
+    rem0 = jnp.take(structure0.keys, uid0, axis=0)  # (s_cap, d) stored coords
+    rem0_full = jnp.concatenate([rem0, -jnp.sum(rem0, -1, keepdims=True)], -1)
+    bary_elev = (
+        rem0_full.astype(positions.dtype) + d / 2.0 - urank.astype(positions.dtype)
+    )  # (s_cap, d+1)
+    return valid, bary_elev, overflow
 
 
 def build_hierarchy(
@@ -696,6 +741,7 @@ def build_hierarchy(
     point_mask: jnp.ndarray | None = None,
     coarse_from_vertices: bool = False,
     coarse_mode: str | None = None,
+    canonical_points: bool = False,
 ) -> LatticeHierarchy:
     """Build every level + every index table the U-Net forward needs.
 
@@ -766,9 +812,15 @@ def build_hierarchy(
             if reps_pack is None:
                 s_cap = min(n, int(capacities[0]))
                 reps_pack = _simplex_reps(
-                    positions, sigma, splat_idx, point_mask, int(capacities[0]), s_cap
+                    positions,
+                    sigma,
+                    splat_idx,
+                    point_mask,
+                    structures[0],
+                    s_cap,
+                    assume_sorted=canonical_points,
                 )
-            reps, bary_elev, rep_overflow = reps_pack
+            rep_valid, bary_elev, rep_overflow = reps_pack
 
             def _reduced(operand, lvl=lvl):
                 bary, rmask = operand
@@ -793,7 +845,7 @@ def build_hierarchy(
                 )[0]
 
             s = lax.cond(
-                rep_overflow == 0, _reduced, _full, (bary_elev, reps < n)
+                rep_overflow == 0, _reduced, _full, (bary_elev, rep_valid)
             )
             structures.append(s)
             continue

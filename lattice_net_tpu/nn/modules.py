@@ -512,9 +512,21 @@ class SliceFastModule(nn.Module):
             cur = out
         lv_b = GnRelu1x1(cur, self.bottleneck_size, use_bias=False)(lv_b, mask)
 
-        gathered = lops.gather_lattice(lv_b, splat_idx, splat_weights)
+        # ONE row gather serves both heads: the bottleneck features (for the
+        # delta-weight MLP, = ops.gather_lattice) and the full-width values
+        # (for the fused classify, = the gather inside ops.slice_classify).
+        # Row gathers are latency-bound, so halving the row count halves the
+        # cost; width is nearly free.
+        both = jnp.concatenate([lv_b, lv], axis=1)  # (cap, bottleneck + C)
+        g_all = lops.gather_rows_clustered(lops._maybe_bf16(both), splat_idx)
+        g_b = g_all[..., : self.bottleneck_size].astype(jnp.float32)
+        g_v = g_all[..., self.bottleneck_size :]
+
+        capacity = lv.shape[0]
+        valid = splat_idx < capacity
+        w_val = jnp.where(valid, splat_weights, 0.0)  # (n, d1)
         vdim = self.bottleneck_size + 1
-        g = gathered.reshape(n, d1, vdim)
+        g = jnp.concatenate([g_b * w_val[..., None], w_val[..., None]], axis=-1)
 
         gamma = self.param("gamma", nn.initializers.ones, (vdim,))
         beta = self.param("beta", nn.initializers.zeros, (vdim,))
@@ -540,7 +552,17 @@ class SliceFastModule(nn.Module):
         w_init = kaiming_uniform_rows(self.in_channels, cls_gain)
         cls_w = self.param("classify_kernel", w_init, (self.nr_classes, self.in_channels))
         cls_b = self.param("classify_bias", nn.initializers.zeros, (self.nr_classes,))
-        return lops.slice_classify(lv, splat_idx, splat_weights, delta, cls_w, cls_b)
+        # fused deformable slice + classify on the already-gathered values
+        # (semantics of ops.slice_classify, reusing g_v from the single
+        # gather above); dropout applies to the vertex values -> re-gathering
+        # would be needed if dropout is active, so keep the reference path
+        # there (training-only).
+        if self.dropout > 0.0:
+            return lops.slice_classify(lv, splat_idx, splat_weights, delta, cls_w, cls_b)
+        w_def = jnp.where(valid, splat_weights + delta, 0.0)
+        sliced = jnp.sum(g_v * w_def[..., None], axis=1)  # (n, C)
+        acc = jnp.result_type(sliced.dtype, cls_w.dtype, jnp.float32)
+        return jnp.dot(sliced, cls_w.T, preferred_element_type=acc) + cls_b
 
 
 # ---------------------------------------------------------------------------

@@ -127,10 +127,24 @@ def _patch_gather_pallas(values_t, ids, ws, include_center: bool, w: int, interp
     return out
 
 
+def _on_tpu() -> bool:
+    import os
+
+    env = os.environ.get("LNT_PALLAS_PATCH")
+    if env is not None:
+        return env != "0"
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def patch_gather_supported(values: jnp.ndarray, neighbors: jnp.ndarray) -> bool:
-    """Static eligibility: table fits VMEM, shapes tile, dtype is bf16."""
+    """Static eligibility: TPU, table fits VMEM, shapes tile, dtype is bf16."""
     cap, c = values.shape
     q, k = neighbors.shape
+    if not _on_tpu():
+        return False
     if values.dtype != jnp.bfloat16:
         return False
     if cap < window_width(cap, q) or cap % T:
@@ -141,7 +155,12 @@ def patch_gather_supported(values: jnp.ndarray, neighbors: jnp.ndarray) -> bool:
 
 
 def _prepare(neighbors: jnp.ndarray, cap_n: int, w: int):
-    """Monotonize + window starts + coverage flag for the kernel layout."""
+    """Window starts + coverage flag for the kernel layout.
+
+    Windows are per-subtile [min, max] ranges of the valid ids, so the
+    kernel serves any CLUSTERED index column — monotone neighbour tables,
+    but also e.g. per-point splat indices of canonically-ordered points.
+    """
     q, k = neighbors.shape
     s = -(-q // T)
     s = -(-s // KSUB) * KSUB  # pad subtile count to a multiple of KSUB
@@ -149,13 +168,12 @@ def _prepare(neighbors: jnp.ndarray, cap_n: int, w: int):
 
     nbr = jnp.pad(neighbors, ((0, q_pad - q), (0, 0)), constant_values=cap_n)
     valid = nbr < cap_n
-    mono = jax.lax.cummax(jnp.where(valid, nbr, -1), axis=0)  # (q_pad, K)
-    ws = jnp.maximum(mono[:: T], 0)  # (S, K) subtile window starts
+    blk_min = jnp.min(jnp.where(valid, nbr, cap_n).reshape(s, T, k), axis=1)  # (S, K)
+    blk_max = jnp.max(jnp.where(valid, nbr, -1).reshape(s, T, k), axis=1)  # (S, K)
     # snap down to 128: lane-dim dynamic offsets must be provably 128-aligned
     # for the window slice (the kernel re-asserts via pl.multiple_of)
-    ws = jnp.minimum(ws, cap_n - w) // 128 * 128
-    span_end = mono[T - 1 :: T]  # (S, K) last monotone id per subtile
-    ok = jnp.all(span_end - ws < w)
+    ws = jnp.maximum(jnp.minimum(blk_min, cap_n - w), 0) // 128 * 128
+    ok = jnp.all(blk_max - ws < w)
 
     ids = jnp.where(valid, nbr, BIG)
     ids = ids.reshape(s, T, k).transpose(0, 2, 1)[:, :, None, :]  # (S, K, 1, T)

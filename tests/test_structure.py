@@ -239,3 +239,62 @@ def test_simplex_reps_overflow_falls_back(rng):
     np.testing.assert_array_equal(
         np.asarray(h_fast.structures[1].keys), np.asarray(h_ref.structures[1].keys)
     )
+
+
+def test_canonical_point_order(rng):
+    pts = jnp.asarray(_cloud(rng, n=3000, scale=3.0))
+    perm = st.canonical_point_order(pts, 0.4)
+    assert sorted(np.asarray(perm).tolist()) == list(range(3000))
+    pts_s = jnp.take(pts, perm, axis=0)
+
+    h_plain = st.build_hierarchy(pts_s, 0.4, 2, (4096, 2048, 1024))
+    h_canon = st.build_hierarchy(pts_s, 0.4, 2, (4096, 2048, 1024), canonical_points=True)
+    for lvl in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(h_plain.structures[lvl].keys),
+            np.asarray(h_canon.structures[lvl].keys),
+            err_msg=f"lvl {lvl}",
+        )
+    # key tables are permutation-invariant vs the unsorted cloud
+    h_uns = st.build_hierarchy(pts, 0.4, 2, (4096, 2048, 1024))
+    for lvl in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(h_uns.structures[lvl].keys),
+            np.asarray(h_canon.structures[lvl].keys),
+        )
+    # per-point splat rows follow the permutation
+    np.testing.assert_array_equal(
+        np.asarray(h_uns.splat_idx)[np.asarray(perm)], np.asarray(h_canon.splat_idx)
+    )
+
+
+def test_canonical_order_clusters_splat_idx(rng):
+    # the point of the canonical order: per-subtile splat-index spans become
+    # window-sized on realistically dense scans (enabling the Pallas
+    # clustered gathers; sparse clouds simply take the cond fallback)
+    from lattice_net_tpu.data.synth_kitti import make_scene
+
+    n = 1 << 15
+    pts = jnp.asarray(make_scene(n, seed=0).V)
+    perm = st.canonical_point_order(pts, 0.6)
+    h = st.build_hierarchy(jnp.take(pts, perm, axis=0), 0.6, 1, (16384, 8192),
+                           canonical_points=True)
+    idx = np.asarray(h.splat_idx)  # (n, 4)
+    cap = 16384
+    spans = []
+    for s in range(0, n - 256, 256):
+        blk = idx[s : s + 256]
+        valid = blk < cap
+        if valid.any():
+            spans.append(blk[valid].max() - blk[valid].min())
+    # column 0 (remainder-0 vertex) stays window-local; columns 1..3 hop
+    # between rank-class regions whose spacing scales with the table, so a
+    # windowed gather over ALL columns is impractical — documented negative
+    # result: the head keeps plain row gathers (fused + bf16 instead)
+    col0 = []
+    for s in range(0, n - 256, 256):
+        blk = idx[s : s + 256, 0]
+        v = blk < cap
+        if v.any():
+            col0.append(blk[v].max() - blk[v].min())
+    assert np.percentile(col0, 99) < 640, np.percentile(col0, 99)
