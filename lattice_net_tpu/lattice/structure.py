@@ -258,6 +258,9 @@ class EdgeSort:
     """
 
     # sorted position -> original flat edge index (edge e = point e//(d+1)).
+    # Defined ONLY where vertex < capacity: invalid rows read 0 (the folded
+    # key+payload sort cannot carry sentinel payloads); consumers mask by
+    # vertex validity before using perm-derived data.
     perm: jnp.ndarray  # (M,) int32
     # vertex id per sorted position; nondecreasing, invalid/overflow = cap.
     vertex: jnp.ndarray  # (M,) int32
@@ -395,13 +398,47 @@ def _dedup_build(
     packed = pack_key_pairs(flat_keys)  # (m, dp)
     dp = packed.shape[1]
     cols = tuple(packed[:, i] for i in range(dp))
+    order = None
     if need_point_maps or with_edges:
-        # lexicographic packed sort with the original edge index as payload
-        sorted_ops = lax.sort(cols + (jnp.arange(m, dtype=jnp.int32),), num_keys=dp)
-        order = sorted_ops[dp]
+        # the payload (original edge index) adds a sort operand; when the
+        # solo key column's range fits beside the payload bits, fold them
+        # into ONE int32 (order = (key, payload) lex, so ties break by edge
+        # index — a stable sort for free) and sort one fewer operand.  The
+        # guard is data-dependent -> lax.cond to the plain sort.
+        bits_p = max(1, m - 1).bit_length()
+        bits_k = 31 - bits_p
+        payload = jnp.arange(m, dtype=jnp.int32)
+        valid0 = flat_keys[:, 0] != SENTINEL
+        if d % 2 == 1 and bits_k >= 10:
+            solo = flat_keys[:, -1]  # the unpaired key column
+            half = jnp.int32(1 << (bits_k - 1))
+            kmax = jnp.max(jnp.abs(jnp.where(valid0, solo, 0)))
+            packable = kmax < half - 1
+
+            def _sort_folded(_):
+                p2k = jnp.where(
+                    valid0, (solo + half) * jnp.int32(1 << bits_p) + payload, SENTINEL
+                )
+                srt = lax.sort(cols[:-1] + (p2k,), num_keys=dp)
+                c_last = srt[-1]
+                sval = c_last != SENTINEL
+                k_s = jnp.where(sval, (c_last >> bits_p) - half, SENTINEL)
+                ord_s = jnp.where(sval, c_last & ((1 << bits_p) - 1), 0)
+                return srt[:-1] + (k_s, ord_s.astype(jnp.int32))
+
+            def _sort_plain(_):
+                srt = lax.sort(cols + (payload,), num_keys=dp)
+                return srt[: dp - 1] + (srt[dp - 1], srt[dp])
+
+            out_cols = lax.cond(packable, _sort_folded, _sort_plain, None)
+            sorted_ops = out_cols[:dp]
+            order = out_cols[dp]
+        else:
+            srt = lax.sort(cols + (payload,), num_keys=dp)
+            sorted_ops = srt[:dp]
+            order = srt[dp]
     else:
         sorted_ops = lax.sort(cols, num_keys=dp)
-        order = None
     spacked = jnp.stack(sorted_ops[:dp], axis=-1)  # (m, dp) sorted
 
     svalid = spacked[:, 0] != SENTINEL
@@ -447,8 +484,14 @@ def _dedup_build(
     # per-edge vertex id, overflow/invalid -> capacity
     uid_ok = jnp.where(svalid & (uid_sorted < capacity), uid_sorted, capacity)
     # point -> vertex ids in original edge order (one full-stream scatter,
-    # the inverse permutation application)
-    vid = jnp.zeros((m,), dtype=jnp.int32).at[order].set(uid_ok.astype(jnp.int32))
+    # the inverse permutation application).  Sentinel rows carry no payload
+    # under the folded sort, so they are dropped and the init value covers
+    # them (masked edges map to `capacity` either way).
+    vid = (
+        jnp.full((m,), capacity, dtype=jnp.int32)
+        .at[jnp.where(svalid, order, m)]
+        .set(uid_ok.astype(jnp.int32), mode="drop")
+    )
     if not with_edges:
         return structure, vid.reshape(n, d + 1), bary
 

@@ -110,6 +110,16 @@ def _patch_gather_pallas(values_t, ids, ws, include_center: bool, w: int, interp
     s, k = ws.shape
     steps = s // KSUB
     k_out = k + 1 if include_center else k
+    # double-buffered table + out blocks can exceed the 16 MB default scoped
+    # budget at the widest levels (e.g. 32768 x 128ch bf16); v5e VMEM has
+    # headroom, so size the cap to the actual buffers plus margin
+    esz = values_t.dtype.itemsize
+    vmem_need = (
+        2 * cap * c * esz
+        + 2 * k_out * KSUB * T * c * esz
+        + 2 * KSUB * k * T * 4
+        + (T * w * esz + 2 * 1024 * 1024)
+    )
     out = pl.pallas_call(
         _patch_kernel_factory(KSUB, k, include_center, w),
         grid=(steps,),
@@ -122,6 +132,9 @@ def _patch_gather_pallas(values_t, ids, ws, include_center: bool, w: int, interp
             (k_out, c, KSUB * T), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k_out, c, s * T), values_t.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(max(vmem_need, 16 * 1024 * 1024), 40 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(ws, ids, values_t)
     return out

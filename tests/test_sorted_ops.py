@@ -64,14 +64,18 @@ def test_edges_consistent_with_splat_idx(hier):
     _, _, h = hier
     e = h.edges
     m = e.perm.shape[0]
-    # the permutation rebuilds the original per-point splat ids
-    vid_orig = np.zeros(m, np.int32)
-    vid_orig[np.asarray(e.perm)] = np.asarray(e.vertex)
+    cap = h.structures[0].capacity
+    # perm is defined on VALID edges only (the folded key+payload sort drops
+    # sentinel payloads); valid entries rebuild the per-point splat ids
+    valid = np.asarray(e.vertex) < cap
+    vid_orig = np.full(m, cap, np.int32)
+    vid_orig[np.asarray(e.perm)[valid]] = np.asarray(e.vertex)[valid]
     np.testing.assert_array_equal(vid_orig.reshape(-1, 4), np.asarray(h.splat_idx))
-    # weights likewise
+    # weights likewise (invalid edges carry zero weight contributions)
     w_orig = np.zeros(m, np.float32)
-    w_orig[np.asarray(e.perm)] = np.asarray(e.weights)
-    np.testing.assert_allclose(w_orig.reshape(-1, 4), np.asarray(h.splat_weights), rtol=1e-6)
+    w_orig[np.asarray(e.perm)[valid]] = np.asarray(e.weights)[valid]
+    w_ref = np.where(np.asarray(h.splat_idx) < cap, np.asarray(h.splat_weights), w_orig.reshape(-1, 4))
+    np.testing.assert_allclose(w_orig.reshape(-1, 4), w_ref, rtol=1e-6)
     # vertex ids nondecreasing in sorted order
     v = np.asarray(e.vertex)
     assert np.all(np.diff(v) >= 0)
@@ -163,7 +167,11 @@ def test_seg_sum_sorted_gradients(hier):
         return jnp.sum(ops.seg_sum_sorted(v, e, cap) ** 2)
 
     def f_ref(v):
-        return jnp.sum(ops.segment_sum(v[np.argsort(np.asarray(e.perm))], h.splat_idx.reshape(-1), cap) ** 2)
+        # invert perm over valid edges only (see test_edges_consistent_...)
+        valid = np.asarray(e.vertex) < cap
+        inv = np.zeros(m, np.int64)
+        inv[np.asarray(e.perm)[valid]] = np.nonzero(valid)[0]
+        return jnp.sum(ops.segment_sum(v[inv], h.splat_idx.reshape(-1), cap) ** 2)
 
     g = jax.grad(f)(vals)
     g_ref = jax.grad(f_ref)(vals)
