@@ -231,10 +231,11 @@ def seg_max_sorted(vals_sorted: jnp.ndarray, carry_sorted: jnp.ndarray, edges, c
     from lattice_net_tpu.ops_tpu import segment as _seg
 
     if _seg.seg_max_pallas_available(c):
-        # Pallas scan+extract kernel: 27.5 -> ~4 ms at 524k x 32 (v5e); the
-        # XLA formulation below stays as CPU/test reference.  Max values may
-        # differ from exact by ~1 ulp of the global min (positivity shift).
-        return _seg.seg_max_carry_sorted_fast(vals_sorted, carry_sorted, ids, capacity)
+        # Pallas streaming scan kernel + run-end gather (bit-exact); the XLA
+        # formulation below stays as the CPU/test reference path.
+        return _seg.seg_max_carry_sorted_fast(
+            vals_sorted, carry_sorted, ids, edges.ends, capacity
+        )
     neg = jnp.finfo(vals_sorted.dtype).min
     maxed = (
         jnp.full((capacity, c), neg, vals_sorted.dtype)

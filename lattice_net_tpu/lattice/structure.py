@@ -221,6 +221,7 @@ class LatticeStructure:
         c = self.capacity
         table = self._packed_table()
         dp = table.shape[1]
+        d = self.pos_dim
         shape = query_keys.shape[:-1]
         q = pack_key_pairs(query_keys.reshape(-1, query_keys.shape[-1]))
         nq = q.shape[0]
@@ -228,7 +229,38 @@ class LatticeStructure:
         keys_all = jnp.concatenate([table, q], axis=0)
         payload = jnp.arange(c + nq, dtype=jnp.int32)
         cols = tuple(keys_all[:, i] for i in range(dp))
-        sorted_ = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
+
+        # fold the solo key column with the payload when ranges permit (same
+        # trick as the build sort): one fewer sort operand, and the payload
+        # tiebreak keeps table rows before equal queries (stability for free)
+        bits_p = max(1, c + nq - 1).bit_length()
+        bits_k = 31 - bits_p
+        if d % 2 == 1 and bits_k >= 10:
+            solo = keys_all[:, -1]
+            half = jnp.int32(1 << (bits_k - 1))
+            valid0 = keys_all[:, 0] != SENTINEL
+            kmax = jnp.max(jnp.abs(jnp.where(valid0, solo, 0)))
+
+            def _folded(_):
+                p2k = jnp.where(
+                    valid0, (solo + half) * jnp.int32(1 << bits_p) + payload, SENTINEL
+                )
+                srt = lax.sort(cols[:-1] + (p2k,), num_keys=dp)
+                c_last = srt[-1]
+                sval = c_last != SENTINEL
+                k_s = jnp.where(sval, (c_last >> bits_p) - half, SENTINEL)
+                # sentinel rows carry no payload; route them to a dropped slot
+                ord_s = jnp.where(sval, c_last & ((1 << bits_p) - 1), c + nq)
+                return srt[:-1] + (k_s, ord_s.astype(jnp.int32))
+
+            def _plain(_):
+                srt = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
+                return srt[: dp - 1] + (srt[dp - 1], srt[dp])
+
+            out_cols = lax.cond(kmax < half - 1, _folded, _plain, None)
+            sorted_ = out_cols
+        else:
+            sorted_ = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
         sid = sorted_[dp]
 
         # last table row at-or-before each position (table ids ascend with key)
@@ -853,7 +885,11 @@ def build_hierarchy(
             continue
         if lvl > 0 and coarse_mode == "simplex":
             if reps_pack is None:
-                s_cap = min(n, int(capacities[0]))
+                # slots for unique occupied simplices: measured ~0.2 per point
+                # at real scan densities (25k for 131k KITTI points), so half
+                # the level-0 capacity is ample; the resplat fallback makes
+                # an overflow merely slower, never wrong
+                s_cap = min(n, max(256, int(capacities[0]) // 2))
                 reps_pack = _simplex_reps(
                     positions,
                     sigma,

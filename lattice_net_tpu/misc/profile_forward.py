@@ -109,10 +109,11 @@ def main():
     for lvl in range(mp.nr_downsamples + 1):
 
         def mk(p, l=lvl):
-            s = build_structure(
-                p, sigma * 2.0**l, caps[l], lvl=l, need_point_maps=(l == 0)
-            )[0]
-            return p + feedback(s.keys)
+            out = build_structure(
+                p, sigma * 2.0**l, caps[l], lvl=l, need_point_maps=(l == 0),
+                with_edges=(l == 0),
+            )
+            return p + feedback(out)
 
         rows[f"build_structure L{lvl} (sort+dedup)"] = timeit_chained(mk, positions)
 
@@ -132,9 +133,16 @@ def main():
     # --- full hierarchy build ----------------------------------------------
     def mk_h(p):
         hh = build_hierarchy(p, sigma, mp.nr_downsamples, caps)
-        return p + feedback(hh.splat_idx)
+        return p + feedback(hh)
 
     rows["build_hierarchy TOTAL"] = timeit_chained(mk_h, positions)
+
+    # build-phase split: structures only (no neighbour tables)
+    def mk_structs(p):
+        hh = build_hierarchy(p, sigma, mp.nr_downsamples, caps)
+        return p + feedback((hh.structures, hh.splat_idx, hh.splat_weights, hh.edges))
+
+    rows["build: structures+maps only"] = timeit_chained(mk_structs, positions)
 
     # --- individual hot ops at bench shapes (chained on the value table) ---
     c_in, c_out = 32, 32

@@ -306,88 +306,63 @@ seg_broadcast_sorted_fast.defvjp(_seg_broadcast_fwd, _seg_broadcast_bwd)
 #
 # PointNet's per-vertex max pool with the barycentric weight of the winning
 # edge per (vertex, channel).  The XLA formulation (scatter-max + winner
-# matching + carry gather) costs ~27.5 ms at 524k x 32 on v5e (row-latency
-# bound, 4 passes).  Here: per subtile of T edges, an in-register segmented
-# Hillis-Steele max-scan (log2 T doubling steps of rolls + selects) leaves
-# each run's partial max (and its carry) at the run's LAST in-subtile edge;
-# a last-edge one-hot matmul (HIGHEST precision - exact for selections)
-# extracts them into a (C, range-block) window accumulator combined with
-# elementwise max.  Values are pre-shifted by (1 - global min) so "absent"
-# accumulator zeros never beat real entries; the shift is undone on the way
-# out (~1 ulp of the min's magnitude, documented).
+# matching + carry gather) costs ~27.5 ms at 524k x 32 on v5e; a first
+# kernel that extracted run maxima with HIGHEST-precision one-hot matmuls
+# measured 7.0 ms (the 3-pass f32 matmuls dominated).  This version streams:
+# ONE pass of in-register segmented Hillis-Steele max-scans per subtile,
+# seeded across subtiles through tiny carry scratch (TPU grids run
+# sequentially), writing the scanned streams straight back out.  The
+# per-vertex results then sit at the run-END positions, which the structure
+# build already knows (EdgeSort.ends) — one cheap monotone gather instead
+# of matmul extraction, range-block sweeps, or positivity shifts.  Values
+# and carries are selected, never rearithmetised: results are bit-exact,
+# ties resolve to the latest edge (torch_scatter semantics).
 # ---------------------------------------------------------------------------
 
 
-def _seg_max_kernel(bshift_ref, ids_ref, vals_ref, carry_ref, outv_ref, outc_ref):
-    r = pl.program_id(0)
-    t = pl.program_id(1)
-    cap_r = outv_ref.shape[2] - 2 * TILE
-    base = r * cap_r
-    cap = cap_r * pl.num_programs(0)
+def _seg_scan_kernel(ids_ref, vals_ref, carry_ref, outv_ref, outc_ref, sid, sv, sc):
+    t = pl.program_id(0)
     c = vals_ref.shape[2]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
 
     @pl.when(t == 0)
     def _():
-        outv_ref[:] = jnp.zeros_like(outv_ref)
-        outc_ref[:] = jnp.zeros_like(outc_ref)
-
-    bshift = bshift_ref[0, 0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (TILE, c), 0)
-    row1 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+        sid[0] = -1
 
     for k in range(K):
-        ids = ids_ref[k, :, 0]  # (T,)
-        intersects = (ids[TILE - 1] >= base) & (ids[0] < base + cap_r)
+        idc = ids_ref[k]  # (T, 1)
+        v = vals_ref[k].astype(jnp.float32)  # (T, C)
+        cr = jnp.broadcast_to(carry_ref[k], (TILE, c)).astype(jnp.float32)
 
-        @pl.when(intersects)
-        def _(k=k, ids=ids):
-            idc = ids_ref[k]  # (T, 1)
-            v = vals_ref[k].astype(jnp.float32) + bshift  # (T, C), >= 1 strictly
-            cr = jnp.broadcast_to(carry_ref[k], (TILE, c))  # (T, C)
+        # seed row 0 with the previous subtile's running (max, carry) when it
+        # continues the same run; the scan propagates it down the run
+        seed = (row1 == 0) & (idc == sid[0])  # (T, 1)
+        sv_row = sv[0:1, :]  # (1, C)
+        sc_row = sc[0:1, :]
+        take = jnp.broadcast_to(seed, (TILE, c)) & (jnp.broadcast_to(sv_row, (TILE, c)) > v)
+        v = jnp.where(take, jnp.broadcast_to(sv_row, (TILE, c)), v)
+        cr = jnp.where(take, jnp.broadcast_to(sc_row, (TILE, c)), cr)
 
-            # segmented inclusive max-scan along the subtile
-            for s in (1, 2, 4, 8, 16, 32, 64, 128):
-                pv = pltpu.roll(v, s, 0)
-                pc = pltpu.roll(cr, s, 0)
-                pid = pltpu.roll(idc, s, 0)
-                same = (pid == idc) & (row1 >= s)  # (T, 1)
-                take = jnp.broadcast_to(same, (TILE, c)) & (pv > v)
-                v = jnp.where(take, pv, v)
-                cr = jnp.where(take, pc, cr)
+        # segmented inclusive max-scan along the subtile
+        for s in (1, 2, 4, 8, 16, 32, 64, 128):
+            pv = pltpu.roll(v, s, 0)
+            pc = pltpu.roll(cr, s, 0)
+            pid = pltpu.roll(idc, s, 0)
+            same = (pid == idc) & (row1 >= s)  # (T, 1)
+            tk = jnp.broadcast_to(same, (TILE, c)) & (pv > v)
+            v = jnp.where(tk, pv, v)
+            cr = jnp.where(tk, pc, cr)
 
-            # last in-subtile edge of each run
-            nid = pltpu.roll(idc, TILE - 1, 0)  # circular -1
-            is_last = (nid != idc) | (row1 == TILE - 1)  # (T, 1)
-
-            ws = jnp.clip(ids[0], base, base + cap_r - 1)
-            off = pl.multiple_of((ws - base) // TILE * TILE, TILE)
-            lid = ids - (base + off)
-            sel = (ids >= base) & (ids < jnp.minimum(base + cap_r, cap))
-            onehot = (
-                (lid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (TILE, 2 * TILE), 1))
-                & sel[:, None]
-                & is_last
-            ).astype(jnp.float32)  # (T, 2T)
-            dn = (((0,), (0,)), ((), ()))
-            pv = jax.lax.dot_general(  # (C, 2T): exact (selection of f32)
-                v, onehot, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            pc = jax.lax.dot_general(
-                cr, onehot, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            curv = outv_ref[0, :, pl.ds(off, 2 * TILE)]
-            curc = outc_ref[0, :, pl.ds(off, 2 * TILE)]
-            take = pv >= curv  # later subtile wins ties (= latest edge rule)
-            outv_ref[0, :, pl.ds(off, 2 * TILE)] = jnp.where(take, pv, curv)
-            outc_ref[0, :, pl.ds(off, 2 * TILE)] = jnp.where(take, pc, curc)
+        outv_ref[k] = v
+        outc_ref[k] = cr
+        sid[0] = ids_ref[k, TILE - 1, 0]
+        sv[:] = v[TILE - 1 : TILE, :]
+        sc[:] = cr[TILE - 1 : TILE, :]
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
-def _seg_max_pallas_impl(vals, carry, ids, cap: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _seg_scan_pallas(vals, carry, ids, cap: int, interpret: bool = False):
+    """Segmented running (max, carry) streams; read results at run ends."""
     m, c = vals.shape
     nt = -(-m // STEP)
     pad = nt * STEP - m
@@ -395,79 +370,83 @@ def _seg_max_pallas_impl(vals, carry, ids, cap: int, interpret: bool = False):
         ids = jnp.concatenate([ids, jnp.full((pad,), cap, ids.dtype)])
         vals = jnp.concatenate([vals, jnp.zeros((pad, c), vals.dtype)])
         carry = jnp.concatenate([carry, jnp.zeros((pad,), carry.dtype)])
-    # two f32 accumulators -> half the usual row budget per range block
-    r = 1
-    while r <= 64 and not (cap % r == 0 and (cap // r + 2 * TILE) * max(c, 8) * 8 <= VMEM_BUDGET):
-        r *= 2
-    assert r <= 64, "capacity too large for seg-max range blocks"
-    cap_r = cap // r
-    bshift = (1.0 - jnp.min(vals.astype(jnp.float32))).reshape(1, 1)
 
     outv, outc = pl.pallas_call(
-        _seg_max_kernel,
-        grid=(r, nt),
+        _seg_scan_kernel,
+        grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda r_i, t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, TILE, 1), lambda r_i, t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, TILE, c), lambda r_i, t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, TILE, 1), lambda r_i, t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TILE, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TILE, c), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TILE, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, c, cap_r + 2 * TILE), lambda r_i, t: (r_i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, cap_r + 2 * TILE), lambda r_i, t: (r_i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TILE, c), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TILE, c), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, c, cap_r + 2 * TILE), jnp.float32),
-            jax.ShapeDtypeStruct((r, c, cap_r + 2 * TILE), jnp.float32),
+            jax.ShapeDtypeStruct((nt * K, TILE, c), jnp.float32),
+            jax.ShapeDtypeStruct((nt * K, TILE, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        # every (K, T, <128-lane) block pads its lane dim to 128 in VMEM:
+        # 5 double-buffered padded blocks = 20 MB at C=32 — size the cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * 5 * K * TILE * 128 * 4 + 6 * 1024 * 1024
         ),
         interpret=interpret,
     )(
-        bshift,
         ids.reshape(nt * K, TILE, 1),
         vals.astype(jnp.float32).reshape(nt * K, TILE, c),
         carry.astype(jnp.float32).reshape(nt * K, TILE, 1),
     )
-    maxv = outv[:, :, :cap_r].transpose(0, 2, 1).reshape(cap, c)
-    maxc = outc[:, :, :cap_r].transpose(0, 2, 1).reshape(cap, c)
-    present = maxv > 0.0  # shifted values are >= 1 strictly
-    maxed = jnp.where(present, maxv - bshift[0, 0], 0.0)
-    # maxv (the exact shifted-domain table) feeds the bit-exact winner match
-    # in the custom VJP; maxed alone cannot (the unshift rounds)
-    return maxed, jnp.where(present, maxc, 0.0), maxv, bshift[0, 0]
+    return outv.reshape(nt * STEP, c), outc.reshape(nt * STEP, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def seg_max_carry_sorted_fast(vals, carry, ids, cap: int):
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def _seg_max_pallas_impl(vals, carry, ids, run_ends, cap: int, interpret: bool = False):
+    """run_ends: (cap,) last stream position per vertex; -1 for empty rows."""
+    scan_v, scan_c = _seg_scan_pallas(vals, carry, ids, cap, interpret=interpret)
+    present = (run_ends >= 0)[:, None]
+    at = jnp.maximum(run_ends, 0)
+    maxed = jnp.where(present, jnp.take(scan_v, at, axis=0), 0.0)
+    carry_out = jnp.where(present, jnp.take(scan_c, at, axis=0), 0.0)
+    return maxed, carry_out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def seg_max_carry_sorted_fast(vals, carry, ids, run_ends, cap: int):
     """(maxed, carry_of_winner) per dense sorted segment; empty rows -> 0.
 
-    The max is recovered through a positivity shift and may differ from
-    exact by ~1 ulp of the global min; tie-breaking follows the latest-edge
-    rule (same as the XLA formulation in ops.seg_max_sorted).
+    Bit-exact (pure selection, no rearithmetisation); ties follow the
+    latest-edge rule, matching torch_scatter and the XLA formulation.
     """
-    maxed, carry_out, _, _ = _seg_max_pallas_impl(vals, carry, ids, cap)
+    maxed, carry_out = _seg_max_pallas_impl(vals, carry, ids, run_ends, cap)
     return maxed.astype(vals.dtype), carry_out.astype(vals.dtype)
 
 
-def _seg_max_fast_fwd(vals, carry, ids, cap):
-    maxed, carry_out, maxv_sh, bshift = _seg_max_pallas_impl(vals, carry, ids, cap)
+def _seg_max_fast_fwd(vals, carry, ids, run_ends, cap):
+    maxed, carry_out = _seg_max_pallas_impl(vals, carry, ids, run_ends, cap)
     out = (maxed.astype(vals.dtype), carry_out.astype(vals.dtype))
-    return out, (vals, ids, maxv_sh, bshift)
+    return out, (vals, ids, maxed)
 
 
 def _seg_max_fast_bwd(cap, res, cts):
     """Route cotangents to each (vertex, channel)'s winning edge.
 
-    Winner matching compares in the same shifted f32 domain the kernel used,
-    so the match is bit-exact; ties resolve to the latest edge (argpos max),
-    matching both the kernel accumulator and the reference's semantics.
+    The kernel's maxima are exact selections of input values, so the winner
+    match compares raw values; ties resolve to the latest edge (argpos max),
+    the same rule the kernel's scan applies.
     """
-    vals, ids, maxv_sh, bshift = res
+    vals, ids, maxed = res
     g_max, g_carry = cts
     m, c = vals.shape
     valid = (ids < cap)[:, None]
-    vp = vals.astype(jnp.float32) + bshift  # same expression as the kernel
-    gathered = jnp.take(maxv_sh, jnp.minimum(ids, cap - 1), axis=0)
-    is_win = (vp == gathered) & valid
+    gathered = jnp.take(maxed, jnp.minimum(ids, cap - 1), axis=0)
+    is_win = (vals.astype(jnp.float32) == gathered) & valid
     row_pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None], (m, c))
     argpos = (
         jnp.full((cap, c), -1, jnp.int32)
@@ -479,7 +458,7 @@ def _seg_max_fast_bwd(cap, res, cts):
     gc = jnp.take(g_carry, jnp.minimum(ids, cap - 1), axis=0)
     d_vals = jnp.where(winner, gm, 0.0).astype(vals.dtype)
     d_carry = jnp.sum(jnp.where(winner, gc, 0.0), axis=1).astype(vals.dtype)
-    return d_vals, d_carry, None
+    return d_vals, d_carry, None, None
 
 
 seg_max_carry_sorted_fast.defvjp(_seg_max_fast_fwd, _seg_max_fast_bwd)

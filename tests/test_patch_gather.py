@@ -128,8 +128,8 @@ def test_seg_max_kernel_matches_xla():
     vals = jnp.asarray(rng.integers(-50, 50, size=(m, 16)).astype(np.float32))
     carry = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
 
-    maxed, carry_out, _, _ = sg._seg_max_pallas_impl(
-        vals, carry, edges.vertex, cap, interpret=True
+    maxed, carry_out = sg._seg_max_pallas_impl(
+        vals, carry, edges.vertex, edges.ends, cap, interpret=True
     )
 
     maxed_ref, argsrc = lops.segment_max_with_src(vals, edges.vertex, cap)
@@ -148,9 +148,10 @@ def test_seg_max_kernel_float_tolerance():
     rng = np.random.default_rng(6)
     vals = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32) * 3)
     carry = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
-    maxed, _, _, _ = sg._seg_max_pallas_impl(vals, carry, edges.vertex, cap, interpret=True)
+    maxed, _ = sg._seg_max_pallas_impl(vals, carry, edges.vertex, edges.ends, cap, interpret=True)
     maxed_ref, _ = lops.segment_max_with_src(vals, edges.vertex, cap)
-    np.testing.assert_allclose(np.asarray(maxed), np.asarray(maxed_ref), atol=1e-5, rtol=1e-6)
+    # streaming scan is a pure selection: bit-exact even on floats
+    np.testing.assert_array_equal(np.asarray(maxed), np.asarray(maxed_ref))
 
 
 def test_seg_max_fast_bwd_matches_xla_ad():
@@ -175,11 +176,11 @@ def test_seg_max_fast_bwd_matches_xla_ad():
     _, vjp = jax.vjp(xla_op, vals, carry)
     dv_ref, dc_ref = vjp((gm, gc))
 
-    maxed, carry_out, maxv_sh, bshift = sg._seg_max_pallas_impl(
-        vals, carry, edges.vertex, cap, interpret=True
+    maxed, carry_out = sg._seg_max_pallas_impl(
+        vals, carry, edges.vertex, edges.ends, cap, interpret=True
     )
-    dv, dc, _ = sg._seg_max_fast_bwd(
-        cap, (vals, edges.vertex, maxv_sh, bshift), (gm, gc)
+    dv, dc, _, _ = sg._seg_max_fast_bwd(
+        cap, (vals, edges.vertex, maxed), (gm, gc)
     )
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(dc), np.asarray(dc_ref), atol=1e-6)
