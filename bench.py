@@ -60,13 +60,13 @@ def main():
     )
     sigma = 0.6
     n_points = 1 << 17  # 131072, a full KITTI sweep
-    # ~47% / ~35% / ~11% occupancy.  Unlike the reference's open-addressing
+    # ~47% / ~35% / ~45% occupancy.  Unlike the reference's open-addressing
     # hash table (whose probe chains degrade past ~25% load — its sanity rule),
     # the sort-based table has NO collision cost: capacity is pure headroom,
-    # and the overflow counters below are the real guard.  2.1x headroom over
+    # and the overflow counters below are the real guard.  ~2.1x headroom over
     # the measured vertex count matches the reference's KITTI margin (100k
     # capacity for ~10-30k vertices, lnn_train_semantic_kitti.cfg:62-71).
-    caps = (1 << 16, 1 << 15, 1 << 14)
+    caps = (1 << 16, 1 << 15, 1 << 13)
 
     positions = jnp.asarray(synthetic_kitti_scan(n_points))
     values = jnp.zeros((n_points, 1), jnp.float32)

@@ -389,6 +389,7 @@ def distribute_sorted(
     edges,
     capacity: int,
     subtract_local_mean: bool = True,
+    splat_weights: jnp.ndarray | None = None,
 ):
     """``distribute`` emitting rows in sorted-by-vertex edge order.
 
@@ -408,15 +409,32 @@ def distribute_sorted(
     ids = edges.vertex
     point_of = edges.perm // d1
 
-    feats = jnp.concatenate([positions, values], axis=-1)
-    rows_f = jnp.take(feats, point_of, axis=0)  # one (M, d+C) row gather
-    pos_rows, val_rows = rows_f[:, :d], rows_f[:, d:]
+    if edges.weights is not None:
+        feats = jnp.concatenate([positions, values], axis=-1)
+        rows_f = jnp.take(feats, point_of, axis=0)  # one (M, d+C) row gather
+        pos_rows, val_rows = rows_f[:, :d], rows_f[:, d:]
+        w_rows = edges.weights
+    else:
+        # the build carries no per-edge weights (saves a full-stream gather
+        # there): fold the barycentric columns into THIS row gather and
+        # select each edge's remainder column — row gathers are
+        # latency-bound, extra width is nearly free
+        assert splat_weights is not None, "need splat_weights when edges carry none"
+        feats = jnp.concatenate([positions, values, splat_weights], axis=-1)
+        rows_f = jnp.take(feats, point_of, axis=0)  # (M, d+C+d1)
+        pos_rows = rows_f[:, :d]
+        val_rows = rows_f[:, d : d + values.shape[1]]
+        wcols = rows_f[:, d + values.shape[1] :]  # (M, d1)
+        r = (edges.perm % d1)[:, None]
+        w_rows = jnp.sum(
+            jnp.where(r == jnp.arange(d1, dtype=jnp.int32)[None, :], wcols, 0.0), axis=1
+        )
 
     if subtract_local_mean:
         mean_pos = seg_mean_sorted(pos_rows, edges, capacity)
         pos_rows = pos_rows - take_sorted(mean_pos, ids)
 
-    rows = jnp.concatenate([pos_rows, val_rows, edges.weights[:, None]], axis=-1)
+    rows = jnp.concatenate([pos_rows, val_rows, w_rows[:, None]], axis=-1)
     return jnp.where((ids < capacity)[:, None], rows, 0.0), ids
 
 

@@ -300,8 +300,10 @@ class EdgeSort:
     # Runs are dense and ordered (every vertex was created by these edges),
     # so starts[v] = ends[v-1] + 1 and counts[v] = ends[v] - ends[v-1].
     ends: jnp.ndarray  # (capacity,) int32
-    # barycentric weight per sorted edge.
-    weights: jnp.ndarray  # (M,) float32
+    # barycentric weight per sorted edge; None when the build skips the
+    # full-stream gather (ops.distribute_sorted reconstructs weights from
+    # splat_weights + perm instead).
+    weights: Any  # (M,) float32 or None
 
 
 @struct.dataclass
@@ -527,11 +529,13 @@ def _dedup_build(
     if not with_edges:
         return structure, vid.reshape(n, d + 1), bary
 
+    # weights stay None: ops.distribute_sorted folds the barycentric columns
+    # into its own row gather (saves a full-stream gather here)
     edges = EdgeSort(
         perm=order.astype(jnp.int32),
         vertex=uid_ok.astype(jnp.int32),
         ends=ends,
-        weights=bary.reshape(m)[order],
+        weights=None,
     )
     return structure, vid.reshape(n, d + 1), bary, edges
 

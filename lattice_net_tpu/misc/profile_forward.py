@@ -170,11 +170,11 @@ def main():
 
     # --- forward internals (sorted-edge path) ------------------------------
     rows["distribute_sorted (524k rows)"] = timeit_chained(
-        lambda p: p + feedback(ops.distribute_sorted(p, values, h.edges, caps[0])[0]),
+        lambda p: p + feedback(ops.distribute_sorted(p, values, h.edges, caps[0], splat_weights=h.splat_weights)[0]),
         positions,
     )
 
-    rows_arr = jax.jit(lambda p, v: ops.distribute_sorted(p, v, h.edges, caps[0])[0])(
+    rows_arr = jax.jit(lambda p, v: ops.distribute_sorted(p, v, h.edges, caps[0], splat_weights=h.splat_weights)[0])(
         positions, values
     )
     rows["seg_max_sorted (524k x 4)"] = timeit_chained(
@@ -228,7 +228,7 @@ def main():
         module_stage(fi, vals1, h.neighbors_finefy[0]), vals1
     )
 
-    pn_rows = jax.jit(lambda p, v: ops.distribute_sorted(p, v, h.edges, caps[0])[0])(
+    pn_rows = jax.jit(lambda p, v: ops.distribute_sorted(p, v, h.edges, caps[0], splat_weights=h.splat_weights)[0])(
         positions, values
     )
     pn = M.PointNetModule(channels_per_layer=(16, 32), out_channels=c_in)

@@ -137,7 +137,12 @@ class LNN(nn.Module):
             "pointnet_no_local_mean", "pointnet_no_elevate_no_local_mean", "splat"
         )
         rows_sorted, _ = lops.distribute_sorted(
-            positions, values, h.edges, cap0, subtract_local_mean=not no_mean
+            positions,
+            values,
+            h.edges,
+            cap0,
+            subtract_local_mean=not no_mean,
+            splat_weights=h.splat_weights,
         )
 
         # --- pointnet featuriser

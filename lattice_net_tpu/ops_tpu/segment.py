@@ -406,14 +406,141 @@ def _seg_scan_pallas(vals, carry, ids, cap: int, interpret: bool = False):
     return outv.reshape(nt * STEP, c), outc.reshape(nt * STEP, c)
 
 
+def _seg_scan_kernel_packed(ids_ref, vals_ref, carry_ref, out_ref, sid_row, scr_row):
+    """128-lane-packed variant: P = 128 // (2C) subtiles' [values | carry]
+    planes share each vector, so the scan's rolls/compares/selects run on
+    fully dense lanes (the unpacked kernel wastes (128 - C)/128 of every
+    VPU op on lane padding).  Intra-pack run continuations are repaired by a
+    cascade of P-1 lane-rolled fixups after the scan; cross-step carry rides
+    a lane-rolled scratch row."""
+    t = pl.program_id(0)
+    c = vals_ref.shape[2]
+    p_sub = 128 // (2 * c)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+    lane_v = (lane // c) % 2 == 0  # lanes holding values (not carry)
+
+    @pl.when(t == 0)
+    def _():
+        sid_row[:] = jnp.full((1, 128), -1, jnp.int32)
+        scr_row[:] = jnp.zeros((1, 128), jnp.float32)
+
+    def bcast(row):  # (1, 128) -> (T, 128)
+        return jnp.broadcast_to(row, (TILE, 128))
+
+    def roll_mask(mask, s):  # Mosaic cannot rotate 1-bit data
+        return pltpu.roll(mask.astype(jnp.int32), s, 1) != 0
+
+    for g in range(K // p_sub):
+        combs, idreps = [], []
+        for j in range(p_sub):
+            k = g * p_sub + j
+            v = vals_ref[k].astype(jnp.float32)
+            cr = jnp.broadcast_to(carry_ref[k], (TILE, c)).astype(jnp.float32)
+            combs += [v, cr]
+            idreps.append(jnp.broadcast_to(ids_ref[k], (TILE, 2 * c)))
+        comb = jnp.concatenate(combs, axis=1)  # (T, 128)
+        idrep = jnp.concatenate(idreps, axis=1)  # (T, 128)
+
+        # seed subtile 0 from the previous step's carry (scan propagates it)
+        seed = (row1 == 0) & (idrep == sid_row[0:1, :]) & (lane < 2 * c)
+        cmp = seed & (bcast(scr_row[0:1, :]) > comb) & lane_v
+        take = cmp | roll_mask(cmp, c)
+        comb = jnp.where(take, bcast(scr_row[0:1, :]), comb)
+
+        # segmented inclusive max-scan (all packed subtiles at once)
+        for s in (1, 2, 4, 8, 16, 32, 64, 128):
+            pv = pltpu.roll(comb, s, 0)
+            pid = pltpu.roll(idrep, s, 0)
+            same = (pid == idrep) & (row1 >= s)
+            cmp = same & (pv > comb) & lane_v
+            take = cmp | roll_mask(cmp, c)
+            comb = jnp.where(take, pv, comb)
+
+        # cascade run continuations across the packed subtiles
+        for j in range(1, p_sub):
+            lv = pltpu.roll(comb[TILE - 1 : TILE, :], 2 * c, 1)  # j-1 -> j lanes
+            lid = pltpu.roll(idrep[TILE - 1 : TILE, :], 2 * c, 1)
+            in_j = (lane >= j * 2 * c) & (lane < (j + 1) * 2 * c)
+            m = (idrep == lid) & in_j
+            cmp = m & (bcast(lv) > comb) & lane_v
+            take = cmp | roll_mask(cmp, c)
+            comb = jnp.where(take, bcast(lv), comb)
+
+        out_ref[g] = comb
+        # last packed subtile's lanes -> subtile-0 lane position (p*2c == 128)
+        sid_row[:] = pltpu.roll(idrep[TILE - 1 : TILE, :], 2 * c, 1)
+        scr_row[:] = pltpu.roll(comb[TILE - 1 : TILE, :], 2 * c, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def _seg_scan_packed(vals, carry, ids, cap: int, interpret: bool = False):
+    """Packed scan streams; returns flat (R*T, 128) f32 for extraction."""
+    m, c = vals.shape
+    p_sub = 128 // (2 * c)
+    nt = -(-m // STEP)
+    pad = nt * STEP - m
+    if pad:
+        ids = jnp.concatenate([ids, jnp.full((pad,), cap, ids.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, c), vals.dtype)])
+        carry = jnp.concatenate([carry, jnp.zeros((pad,), carry.dtype)])
+
+    groups = nt * K // p_sub
+    out = pl.pallas_call(
+        _seg_scan_kernel_packed,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((K, TILE, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TILE, c), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TILE, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (K // p_sub, TILE, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((groups, TILE, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * 4 * K * TILE * 128 * 4 + 6 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        ids.reshape(nt * K, TILE, 1),
+        vals.astype(jnp.float32).reshape(nt * K, TILE, c),
+        carry.astype(jnp.float32).reshape(nt * K, TILE, 1),
+    )
+    return out.reshape(groups * TILE, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "interpret"))
 def _seg_max_pallas_impl(vals, carry, ids, run_ends, cap: int, interpret: bool = False):
     """run_ends: (cap,) last stream position per vertex; -1 for empty rows."""
-    scan_v, scan_c = _seg_scan_pallas(vals, carry, ids, cap, interpret=interpret)
+    m, c = vals.shape
     present = (run_ends >= 0)[:, None]
-    at = jnp.maximum(run_ends, 0)
-    maxed = jnp.where(present, jnp.take(scan_v, at, axis=0), 0.0)
-    carry_out = jnp.where(present, jnp.take(scan_c, at, axis=0), 0.0)
+    e = jnp.maximum(run_ends, 0)
+    if 128 % (2 * c) == 0:
+        p_sub = 128 // (2 * c)
+        flat = _seg_scan_packed(vals, carry, ids, cap, interpret=interpret)
+        # stream position e: subtile s = e // T sits in group s // P at lane
+        # base (s % P) * 2C; its row within the group block is e % T
+        s_of = e // TILE
+        rowidx = (s_of // p_sub) * TILE + (e % TILE)
+        rows = jnp.take(flat, rowidx, axis=0)  # (cap, 128)
+        jmod = (s_of % p_sub)[:, None]
+        maxed = jnp.zeros((cap, c), jnp.float32)
+        carry_out = jnp.zeros((cap, c), jnp.float32)
+        for j in range(p_sub):
+            sel = jmod == j
+            maxed = jnp.where(sel, rows[:, j * 2 * c : j * 2 * c + c], maxed)
+            carry_out = jnp.where(
+                sel, rows[:, j * 2 * c + c : (j + 1) * 2 * c], carry_out
+            )
+        return jnp.where(present, maxed, 0.0), jnp.where(present, carry_out, 0.0)
+    scan_v, scan_c = _seg_scan_pallas(vals, carry, ids, cap, interpret=interpret)
+    maxed = jnp.where(present, jnp.take(scan_v, e, axis=0), 0.0)
+    carry_out = jnp.where(present, jnp.take(scan_c, e, axis=0), 0.0)
     return maxed, carry_out
 
 

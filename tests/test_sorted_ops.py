@@ -71,11 +71,8 @@ def test_edges_consistent_with_splat_idx(hier):
     vid_orig = np.full(m, cap, np.int32)
     vid_orig[np.asarray(e.perm)[valid]] = np.asarray(e.vertex)[valid]
     np.testing.assert_array_equal(vid_orig.reshape(-1, 4), np.asarray(h.splat_idx))
-    # weights likewise (invalid edges carry zero weight contributions)
-    w_orig = np.zeros(m, np.float32)
-    w_orig[np.asarray(e.perm)[valid]] = np.asarray(e.weights)[valid]
-    w_ref = np.where(np.asarray(h.splat_idx) < cap, np.asarray(h.splat_weights), w_orig.reshape(-1, 4))
-    np.testing.assert_allclose(w_orig.reshape(-1, 4), w_ref, rtol=1e-6)
+    # the build no longer materialises per-edge weights (e.weights is None);
+    # distribute_sorted reconstructs them from splat_weights + perm
     # vertex ids nondecreasing in sorted order
     v = np.asarray(e.vertex)
     assert np.all(np.diff(v) >= 0)
@@ -143,7 +140,7 @@ def test_distribute_sorted_matches_distribute(hier):
     ref_rows, ref_ids = ops.distribute(
         pos, values, h.splat_idx, h.splat_weights, cap, point_mask=mask
     )
-    got_rows, got_ids = ops.distribute_sorted(pos, values, h.edges, cap)
+    got_rows, got_ids = ops.distribute_sorted(pos, values, h.edges, cap, splat_weights=h.splat_weights)
 
     perm = np.asarray(h.edges.perm)
     np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(ref_ids)[perm])
