@@ -53,11 +53,15 @@ VMEM_TABLE_BYTES = 9 * 1024 * 1024  # largest value table served in VMEM
 def window_width(cap_n: int, q: int) -> int:
     """Window rows per (subtile, column), static from the table shapes.
 
-    Same-level tables drift ~1 table row per query row; cross-level coarsen
-    tables (queries into a finer/larger table) drift ~cap_n/q faster because
-    the key doubling spreads consecutive queries across the fine table.
+    Same-level tables drift ~1 table row per query row (512 covers every
+    measured scan seed with margin); cross-level coarsen tables (queries
+    into a finer/larger table) drift ~cap_n/q faster because the key
+    doubling spreads consecutive queries across the fine table.  The
+    coverage cond falls back to the XLA gather when a scan exceeds these.
     """
     ratio = max(1, cap_n // max(q, 1))
+    if ratio == 1:
+        return min(512, cap_n)
     return min(W_BASE * min(ratio, 4), cap_n)
 
 
