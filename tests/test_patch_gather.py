@@ -184,3 +184,24 @@ def test_seg_max_fast_bwd_matches_xla_ad():
     )
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(dc), np.asarray(dc_ref), atol=1e-6)
+
+
+def test_bench_shape_windows_cover_realistic_scan():
+    # window sizing regression guard: on a realistically dense LiDAR scene
+    # (scaled-down bench shapes), every neighbour table must be coverable so
+    # the conv fast path engages (the cond fallback would silently cost 2x)
+    from lattice_net_tpu.data.synth_kitti import make_scene
+    from lattice_net_tpu.lattice import structure as st
+
+    pos = jnp.asarray(make_scene(1 << 15, seed=0).V)
+    caps = (1 << 14, 1 << 13, 1 << 11)
+    h = st.build_hierarchy(pos, 0.6, 2, caps)
+    tables = (
+        [(h.neighbors_same[i], caps[i]) for i in range(3)]
+        + [(h.neighbors_coarsen[i], caps[i]) for i in range(2)]
+        + [(h.neighbors_finefy[i], caps[i + 1]) for i in range(2)]
+    )
+    for nbr, capn in tables:
+        w = pk.window_width(capn, nbr.shape[0])
+        _, _, ok, _ = pk._prepare(nbr, capn, w)
+        assert bool(ok), f"table into cap {capn} not covered at w={w}"
