@@ -140,6 +140,33 @@ def load_config(path_or_text) -> dict:
     return _Parser(text).parse_document()
 
 
+def apply_overrides(cfg: dict, overrides) -> dict:
+    """Apply ``section.key=value`` CLI overrides onto a parsed config.
+
+    The reference hard-codes config choices in each script; SURVEY §5 promised
+    the same schema *plus* CLI overrides.  ``overrides`` is a list of strings
+    like ``train.lr=0.003`` or ``loader_semantic_kitti.do_overfit=true``;
+    dotted paths descend (and create) nested sections, and values are parsed
+    with the same configuru value grammar as the file (numbers, booleans,
+    ``[..]`` arrays, quoted or bare strings).  Returns ``cfg`` mutated.
+    """
+    for item in overrides or ():
+        if "=" not in item:
+            raise ConfigError(f"override {item!r} is not of the form section.key=value")
+        path, _, raw = item.partition("=")
+        keys = path.strip().split(".")
+        if not all(keys):
+            raise ConfigError(f"override {item!r} has an empty key segment")
+        node = cfg
+        for k in keys[:-1]:
+            nxt = node.setdefault(k, {})
+            if not isinstance(nxt, dict):
+                raise ConfigError(f"override {item!r}: {k!r} is not a section")
+            node = nxt
+        node[keys[-1]] = _Parser(raw.strip()).parse_value() if raw.strip() else ""
+    return cfg
+
+
 def parse_sigmas(lattice_cfg: dict) -> list:
     """'sigma_i: "value extent"' pairs -> flat per-dimension sigma list
     (``src/Lattice.cu:118-129, 134-160``)."""

@@ -585,10 +585,15 @@ def build_neighbors_same_level(structure: LatticeStructure) -> jnp.ndarray:
     keys = structure.keys  # (C, d)
     occ1 = structure.occupancy_mask()
     occ = occ1[:, None]
+    # sanitize sentinel rows before adding moves (SENTINEL + move wraps
+    # int32): wrapped garbage in the solo key column would defeat the
+    # folded key+payload sort inside merge_lookup (its kmax guard would
+    # always force the plain sort) — results were correct but slower.
+    base = jnp.where(occ1[:, None], keys, 0)
     # every query column is sorted (sorted keys + constant move), so the
     # Pallas windowed merge-count lookup applies; it handles invalid rows
     # and falls back to merge_lookup off-TPU / on window overflow
-    idx_p = monotone_lookup(structure, keys[:, None, :] + moves[None], occ1)
+    idx_p = monotone_lookup(structure, base[:, None, :] + moves[None], occ1)
 
     # reciprocal '-' table: idx_m[u, a] = v wherever idx_p[v, a] = u.  Each
     # (u, a) has at most one v (v's key is u's key minus the move), so the
@@ -857,12 +862,24 @@ def build_hierarchy(
 
     if coarse_mode is None:
         coarse_mode = "vertices" if coarse_from_vertices else "auto"
+    # signature-width guard for the simplex-reduced build: the packed
+    # (id0, rank) signature of _simplex_reps must fit 31 bits or distinct
+    # simplices silently merge.  Validated for BOTH the auto choice and an
+    # explicit coarse_mode="simplex" — an explicit request outside the safe
+    # envelope raises instead of corrupting the coarse key set.
+    bpe = max(1, d.bit_length())
+    sig_bits = bpe * (d + 1) + (int(capacities[0]) + 1).bit_length()
+    # <= 30 keeps every valid signature below the 1.5e9 singleton range
+    # used for level-0-overflowed points (see _simplex_reps)
+    simplex_ok = d == 3 and sig_bits <= 30
     if coarse_mode == "auto":
-        bpe = max(1, d.bit_length())
-        sig_bits = bpe * (d + 1) + (int(capacities[0]) + 1).bit_length()
-        # <= 30 keeps every valid signature below the 1.5e9 singleton range
-        # used for level-0-overflowed points (see _simplex_reps)
-        coarse_mode = "simplex" if (d == 3 and sig_bits <= 30) else "resplat"
+        coarse_mode = "simplex" if simplex_ok else "resplat"
+    elif coarse_mode == "simplex" and not simplex_ok:
+        raise ValueError(
+            f"coarse_mode='simplex' needs d == 3 and a 31-bit signature "
+            f"(d={d}, sig_bits={sig_bits}, capacity={int(capacities[0])}); "
+            "use coarse_mode='resplat' for this configuration"
+        )
     if coarse_mode not in ("resplat", "simplex", "vertices"):
         raise ValueError(f"unknown coarse_mode {coarse_mode!r}")
 

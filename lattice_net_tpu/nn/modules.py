@@ -93,12 +93,21 @@ def masked_group_norm(lv, mask, num_groups, scale, bias, eps=1e-5):
     # at 65536x32 where ~0.15 ms is the real cost.  Per-channel moment sums
     # reduce to per-group stats on (g,)-sized arrays instead.
     count = jnp.maximum(jnp.sum(m) * gs, 1.0)
-    lvm = lv * m
+    # E[x^2] - E[x]^2 cancels catastrophically when |mean| >> spread; shift
+    # each group by a constant near its mean (row 0 is always a real vertex
+    # — sorted tables put valid rows first) before forming the moments.  The
+    # shift is per-GROUP (not per-channel) so the pooled group variance is
+    # exactly invariant, and stop_gradient keeps the backward identical to
+    # the unshifted formulation.
+    t_g = jax.lax.stop_gradient(lv[0]).reshape(g, gs).mean(-1)  # (g,)
+    t_c = jnp.repeat(t_g, gs)  # (c,)
+    lvs = lv - t_c
+    lvm = lvs * m
     s1 = jnp.sum(lvm, axis=0)  # (c,)
-    s2 = jnp.sum(lvm * lv, axis=0)  # (c,)
-    gmean = s1.reshape(g, gs).sum(-1) / count
-    gvar = jnp.maximum(s2.reshape(g, gs).sum(-1) / count - gmean * gmean, 0.0)
-    mean_c = jnp.repeat(gmean, gs)  # (c,)
+    s2 = jnp.sum(lvm * lvs, axis=0)  # (c,)
+    gmean_s = s1.reshape(g, gs).sum(-1) / count  # shifted group mean
+    gvar = jnp.maximum(s2.reshape(g, gs).sum(-1) / count - gmean_s * gmean_s, 0.0)
+    mean_c = jnp.repeat(gmean_s + t_g, gs)  # (c,)
     inv_c = jnp.repeat(jax.lax.rsqrt(gvar + eps), gs)
     return (lv - mean_c) * (inv_c * scale) + bias
 

@@ -94,6 +94,12 @@ def _patch_kernel_factory(ksub: int, k_cols: int, include_center: bool, w: int):
         jax.lax.fori_loop(0, ksub * k_cols, body, 0, unroll=UNROLL)
 
         if include_center:
+            # When cap/T is not a multiple of KSUB, padded subtiles compute
+            # base offsets past the table end; Pallas clamps dynamic slices
+            # to the buffer, so they read (valid but arbitrary) trailing
+            # rows.  The clamped garbage lands only in output rows beyond
+            # the real query count, which every caller discards via [:q] —
+            # see the matching note in patch_gather_supported.
 
             def body_c(k, carry):
                 base = pl.multiple_of((i * ksub + k) * T, T)
@@ -157,7 +163,14 @@ def _on_tpu() -> bool:
 
 
 def patch_gather_supported(values: jnp.ndarray, neighbors: jnp.ndarray) -> bool:
-    """Static eligibility: TPU, table fits VMEM, shapes tile, dtype is bf16."""
+    """Static eligibility: TPU, table fits VMEM, shapes tile, dtype is bf16.
+
+    cap % (T * KSUB) == 0 is NOT required: when the subtile count pads up to
+    a KSUB multiple, the padded subtiles' window/center slices run past the
+    table and rely on Pallas dynamic-slice clamping.  That is safe by
+    construction — the clamped reads produce rows only at output positions
+    >= the real query count, which ``patch_gather`` discards with ``[:q]``.
+    """
     cap, c = values.shape
     q, k = neighbors.shape
     if not _on_tpu():

@@ -43,12 +43,18 @@ def predict_cloud_chunked(predict_fn, prepared, n_points: int, model_params) -> 
     return preds
 
 
-def run(config_path: str, checkpoint: str = "", write_predictions: bool | None = None):
+def run(
+    config_path: str,
+    checkpoint: str = "",
+    write_predictions: bool | None = None,
+    overrides=(),
+):
     import jax
 
     from lattice_net_tpu.config import (
         EvalParams,
         LatticeParams,
+        apply_overrides,
         load_config,
         model_params_from_config,
     )
@@ -59,7 +65,7 @@ def run(config_path: str, checkpoint: str = "", write_predictions: bool | None =
     from lattice_net_tpu.train.checkpoint import load_checkpoint
     from lattice_net_tpu.train.ln_train import create_loader
 
-    cfg = load_config(config_path)
+    cfg = apply_overrides(load_config(config_path), overrides)
     ep = EvalParams.from_config(cfg)
     lp = LatticeParams.from_config(cfg)
     checkpoint = checkpoint or ep.checkpoint_path
@@ -101,8 +107,11 @@ def run(config_path: str, checkpoint: str = "", write_predictions: bool | None =
     scores = Scores()
     out_dir = Path(ep.output_predictions_path or "predictions")
 
+    from lattice_net_tpu.lattice.ops import check_positions
+
     for i, cloud in enumerate(loader):
         prepared = prepare_cloud(cloud, mp)
+        check_positions(prepared[0], prepared[1], sigma=sigma)
         pred = predict_cloud_chunked(predict_fn, prepared, n_points, mp)
         target = prepared[2]
         assert pred.shape[0] == len(cloud.V), "one prediction per input point"
@@ -142,8 +151,13 @@ def main():
     ap.add_argument("config")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--write-predictions", action="store_true", default=None)
+    ap.add_argument(
+        "overrides",
+        nargs="*",
+        help="config overrides of the form section.key=value (e.g. eval.checkpoint_path=...)",
+    )
     args = ap.parse_args()
-    run(args.config, args.checkpoint, args.write_predictions)
+    run(args.config, args.checkpoint, args.write_predictions, args.overrides)
 
 
 if __name__ == "__main__":

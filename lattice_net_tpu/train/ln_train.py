@@ -99,20 +99,50 @@ def sanity_check(nr_verts: int, nr_points: int, capacity: int) -> None:
         )
 
 
-def batched_clouds(loader, model_params, batch_size: int, n_points: int, drop_last: bool):
+def batched_clouds(
+    loader,
+    model_params,
+    batch_size: int,
+    n_points: int,
+    drop_last: bool,
+    sigma=None,
+    chunk_oversized: bool = False,
+):
     """Group the loader stream into lists of prepared clouds of size batch_size.
 
     Partial tail batches are padded by repeating the first cloud with an
     all-False point mask, so shapes stay static (the repeated cloud scores
     zero valid points and contributes nothing to metrics).
+
+    ``sigma`` is forwarded to ``check_positions`` so the packed-key bound
+    (|lattice key| < PACK_BOUND) is enforced at the data boundary — a scene
+    too large for the given sigma fails loudly here instead of silently
+    wrapping int32 inside the key sort.
+
+    ``chunk_oversized`` (the TEST-phase setting): clouds larger than
+    ``n_points`` are split into consecutive chunks that each fill one batch
+    slot, so every point is evaluated exactly once — matching the reference's
+    full-cloud test forward (``ln_eval.py:117-120``).  When False (the TRAIN
+    setting) oversized clouds are randomly subsampled downstream by
+    ``make_batch``, which is a per-epoch augmentation, not an eval path.
     """
     from lattice_net_tpu.lattice.ops import check_positions
     from lattice_net_tpu.models import prepare_cloud
 
+    def prepared_stream():
+        for cloud in loader:
+            prepared = prepare_cloud(cloud, model_params)
+            check_positions(prepared[0], prepared[1], sigma=sigma)
+            if chunk_oversized and prepared[0].shape[0] > n_points:
+                p, v, t = prepared
+                for start in range(0, p.shape[0], n_points):
+                    stop = start + n_points
+                    yield p[start:stop], v[start:stop], t[start:stop]
+            else:
+                yield prepared
+
     buf = []
-    for cloud in loader:
-        prepared = prepare_cloud(cloud, model_params)
-        check_positions(prepared[0], prepared[1])
+    for prepared in prepared_stream():
         buf.append(prepared)
         if len(buf) == batch_size:
             yield buf, len(buf)
@@ -164,11 +194,18 @@ def run(
     eval_every: int = 1,
     resume: str = "",
     dp: bool = False,
+    overrides=(),
 ):
     import jax
     import jax.numpy as jnp
 
-    from lattice_net_tpu.config import LatticeParams, TrainParams, load_config, model_params_from_config
+    from lattice_net_tpu.config import (
+        LatticeParams,
+        TrainParams,
+        apply_overrides,
+        load_config,
+        model_params_from_config,
+    )
     from lattice_net_tpu.lattice.structure import build_hierarchy, default_capacity_schedule
     from lattice_net_tpu.models import LNN, prepare_cloud
     from lattice_net_tpu.parallel import TrainState, make_batch, make_loss_fn, make_train_step
@@ -188,7 +225,7 @@ def run(
     )
     from lattice_net_tpu.train.checkpoint import load_checkpoint
 
-    cfg = load_config(config_path)
+    cfg = apply_overrides(load_config(config_path), overrides)
     tp = TrainParams.from_config(cfg)
     lp = LatticeParams.from_config(cfg)
 
@@ -292,7 +329,10 @@ def run(
                 continue
             cb.epoch_started(phase=phase)
             cb.phase_started(phase=phase)
-            gen = batched_clouds(phase.loader, mp, batch_size, n_points, drop_last=False)
+            gen = batched_clouds(
+                phase.loader, mp, batch_size, n_points, drop_last=False,
+                sigma=sigma, chunk_oversized=not phase.grad,
+            )
             for batch, real in prefetch_batches(gen, lambda it: (batch_of(it[0]), it[1])):
                 batch = mask_dummy(batch, real)
                 if phase.grad:
@@ -325,8 +365,16 @@ def main():
     ap.add_argument("--eval-every", type=int, default=1)
     ap.add_argument("--resume", default="", help="checkpoint to restore the full TrainState from")
     ap.add_argument("--dp", action="store_true", help="data-parallel over all local devices")
+    ap.add_argument(
+        "overrides",
+        nargs="*",
+        help="config overrides of the form section.key=value (e.g. train.lr=0.003)",
+    )
     args = ap.parse_args()
-    run(args.config, args.max_epochs, args.n_points, args.eval_every, args.resume, args.dp)
+    run(
+        args.config, args.max_epochs, args.n_points, args.eval_every,
+        args.resume, args.dp, args.overrides,
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,276 @@
+"""Real-data parse paths exercised on tiny hand-written fixture files.
+
+VERDICT r1 #7: the KITTI/ShapeNet/ScanNet loaders had never read a real-format
+file (no-egress environment).  These tests write minimal but format-exact
+files — velodyne ``.bin`` + ``.label`` (instance bits in the upper 16),
+ShapeNet ``.pts``/``.seg`` text pairs, ScanNet ``.npz`` and binary-LE PLY —
+and assert the actual parse/remap/cap logic:
+
+  * SemanticKITTI: learning-map remap (reference semantic-kitti-api table),
+    distance cap, intensity passthrough, submission-writer inverse roundtrip;
+  * ShapeNet: .pts/.seg parse, normalization, split-file indexing;
+  * ScanNet: NYU40 -> 20-class benchmark mapping from both .npz and .ply.
+
+Plus: the config parser on a VERBATIM copy of a reference ``.cfg``
+(`tests/fixtures/reference_lnn_train_semantic_kitti.cfg` ==
+``/root/reference/config/lnn_train_semantic_kitti.cfg``) and on every
+reference config in-place when the reference tree is mounted.
+"""
+
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+# ---------------------------------------------------------------------------
+# SemanticKITTI
+# ---------------------------------------------------------------------------
+
+
+def _write_kitti_scan(root: Path, seq: str, name: str, pts, intensity, raw_labels):
+    vel = root / "sequences" / seq / "velodyne"
+    lab = root / "sequences" / seq / "labels"
+    vel.mkdir(parents=True, exist_ok=True)
+    lab.mkdir(parents=True, exist_ok=True)
+    arr = np.concatenate([np.asarray(pts, np.float32), np.asarray(intensity, np.float32)[:, None]], axis=1)
+    arr.astype(np.float32).tofile(vel / f"{name}.bin")
+    np.asarray(raw_labels, np.uint32).tofile(lab / f"{name}.label")
+
+
+def test_semantic_kitti_parse_remap_and_caps(tmp_path):
+    from lattice_net_tpu.data.semantic_kitti import SemanticKitti
+
+    pts = np.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.0, 2.0, 0.0],
+            [0.0, 0.0, 3.0],
+            [100.0, 0.0, 0.0],  # beyond the 60 m cap -> dropped
+        ]
+    )
+    intensity = np.array([0.1, 0.2, 0.3, 0.4])
+    # raw ids with instance bits in the upper 16: 10=car->1, 252=moving-car->1,
+    # 40=road->9, 81=traffic-sign->19
+    raw = np.array(
+        [10 | (7 << 16), 252 | (3 << 16), 40, 81], dtype=np.uint32
+    )
+    _write_kitti_scan(tmp_path, "00", "000000", pts, intensity, raw)
+
+    ds = SemanticKitti(str(tmp_path), mode="train", sequences=["00"], shuffle=False)
+    assert len(ds) == 1
+    cloud = ds.get_cloud(0)
+    assert cloud.V.shape == (3, 3)  # distance cap dropped the 100 m point
+    np.testing.assert_allclose(cloud.I.ravel(), [0.1, 0.2, 0.3])  # passthrough
+    assert cloud.L_gt.ravel().tolist() == [1, 1, 9]  # instance bits stripped
+    assert cloud.name == "00/000000"
+
+
+def test_semantic_kitti_point_cap(tmp_path):
+    from lattice_net_tpu.data.semantic_kitti import SemanticKitti
+
+    n = 50
+    pts = np.random.default_rng(0).uniform(-5, 5, (n, 3))
+    _write_kitti_scan(tmp_path, "00", "000000", pts, np.zeros(n), np.zeros(n, np.uint32))
+    ds = SemanticKitti(
+        str(tmp_path), mode="train", sequences=["00"], max_nr_points_per_cloud=20
+    )
+    assert ds.get_cloud(0).V.shape == (20, 3)
+
+
+def test_kitti_label_writer_roundtrip(tmp_path):
+    from lattice_net_tpu.data.semantic_kitti import (
+        remap_labels,
+        write_kitti_label_file,
+    )
+
+    train_ids = np.arange(20, dtype=np.int32)
+    out = tmp_path / "000000.label"
+    write_kitti_label_file(out, train_ids)
+    raw = np.fromfile(out, dtype=np.uint32)
+    # submission raw ids remap back to the train ids exactly
+    assert remap_labels(raw).tolist() == train_ids.tolist()
+
+
+# ---------------------------------------------------------------------------
+# ShapeNet part-seg
+# ---------------------------------------------------------------------------
+
+
+def _write_shapenet(root: Path, synset: str, name: str, pts, seg):
+    (root / synset / "points").mkdir(parents=True, exist_ok=True)
+    (root / synset / "points_label").mkdir(parents=True, exist_ok=True)
+    with open(root / synset / "points" / f"{name}.pts", "w") as f:
+        for p in pts:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+    with open(root / synset / "points_label" / f"{name}.seg", "w") as f:
+        f.write("\n".join(str(int(s)) for s in seg) + "\n")
+
+
+def test_shapenet_parse_and_split(tmp_path):
+    from lattice_net_tpu.data.shapenet import CATEGORIES, ShapeNetPartSeg
+
+    synset = CATEGORIES["motorbike"]
+    pts = [[0.0, 0.1, 0.2], [1.0, 1.1, 1.2], [2.0, 2.1, 2.2]]
+    _write_shapenet(tmp_path, synset, "aaaa", pts, [1, 2, 6])
+    _write_shapenet(tmp_path, synset, "bbbb", pts, [3, 3, 3])
+    split = tmp_path / "train_test_split"
+    split.mkdir()
+    (split / "shuffled_train_file_list.json").write_text(
+        json.dumps([f"shape_data/{synset}/aaaa"])
+    )
+
+    ds = ShapeNetPartSeg(str(tmp_path), mode="train", restrict_to_object="motorbike", shuffle=False)
+    assert len(ds) == 1  # split file restricts to 'aaaa'
+    cloud = ds.get_cloud(0)
+    np.testing.assert_allclose(cloud.V, np.asarray(pts, np.float32))
+    assert cloud.L_gt.ravel().tolist() == [1, 2, 6]
+    assert ds.nr_classes == 7  # 6 motorbike parts + background
+
+    # without a split file, directory indexing finds both samples
+    (split / "shuffled_train_file_list.json").unlink()
+    ds2 = ShapeNetPartSeg(str(tmp_path), mode="train", restrict_to_object="motorbike", shuffle=False)
+    assert len(ds2) == 2
+
+
+def test_shapenet_normalize(tmp_path):
+    from lattice_net_tpu.data.shapenet import CATEGORIES, ShapeNetPartSeg
+
+    synset = CATEGORIES["airplane"]
+    pts = np.random.default_rng(0).uniform(5, 9, (10, 3))
+    _write_shapenet(tmp_path, synset, "cccc", pts, np.ones(10))
+    ds = ShapeNetPartSeg(
+        str(tmp_path), mode="train", restrict_to_object="airplane", normalize=True
+    )
+    V = ds.get_cloud(0).V
+    assert np.abs(V.mean(0)).max() < 1e-5
+    assert np.abs(V).max() <= 1.0 + 1e-5
+
+
+# ---------------------------------------------------------------------------
+# ScanNet
+# ---------------------------------------------------------------------------
+
+
+def _write_scannet_ply(path: Path, V, C, L):
+    n = len(V)
+    header = (
+        b"ply\n"
+        b"format binary_little_endian 1.0\n"
+        b"element vertex " + str(n).encode() + b"\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        b"property uchar alpha\nproperty ushort label\n"
+        b"element face 0\n"
+        b"property list uchar int vertex_indices\n"
+        b"end_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header)
+        for i in range(n):
+            f.write(struct.pack("<fffBBBBH", *V[i], *C[i], 255, int(L[i])))
+
+
+def test_scannet_npz_and_ply(tmp_path):
+    from lattice_net_tpu.data.scannet import ScanNet
+
+    V = np.array([[0.0, 0, 0], [1, 1, 1], [2, 2, 2]], np.float32)
+    C = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    # NYU40 ids: 1=wall->1, 39=otherfurniture->20, 13 (not in benchmark)->0
+    raw = np.array([1, 39, 13], np.int64)
+
+    s1 = tmp_path / "scans" / "scene0000_00"
+    s1.mkdir(parents=True)
+    np.savez(s1 / "scene0000_00.npz", points=V, colors=C.astype(np.float32) / 255.0, labels=raw)
+    s2 = tmp_path / "scans" / "scene0001_00"
+    s2.mkdir(parents=True)
+    _write_scannet_ply(s2 / "scene0001_00_vh_clean_2.labels.ply", V, C, raw)
+
+    ds = ScanNet(str(tmp_path), mode="train", shuffle=False)
+    assert len(ds) == 2
+    for i in range(2):
+        cloud = ds.get_cloud(i)
+        np.testing.assert_allclose(cloud.V, V)
+        assert cloud.L_gt.ravel().tolist() == [1, 20, 0]
+    # PLY colors decode to [0,1]
+    c_ply = ds.get_cloud(1).C
+    np.testing.assert_allclose(c_ply[0], [1.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_scannet_prediction_writer(tmp_path):
+    from lattice_net_tpu.data.scannet import VALID_CLASS_IDS, write_scannet_prediction
+
+    out = tmp_path / "scene.txt"
+    write_scannet_prediction(out, np.array([1, 20, 0]))
+    got = np.loadtxt(out, dtype=int)
+    assert got.tolist() == [VALID_CLASS_IDS[0], VALID_CLASS_IDS[-1], 0]
+
+
+# ---------------------------------------------------------------------------
+# reference config compatibility (verbatim files)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_config_fixture_parses_verbatim():
+    from lattice_net_tpu.config import (
+        LatticeParams,
+        TrainParams,
+        load_config,
+        model_params_from_config,
+    )
+
+    cfg = load_config(FIXTURES / "reference_lnn_train_semantic_kitti.cfg")
+    tp = TrainParams.from_config(cfg)
+    assert tp.dataset_name == "semantickitti"
+    assert tp.lr == 0.001 and tp.weight_decay == 1e-3
+    lp = LatticeParams.from_config(cfg)
+    assert lp.hash_table_capacity == 100000
+    assert lp.sigmas == (0.9, 0.9, 0.9)
+    mp = model_params_from_config(cfg, nr_classes=20)
+    assert mp.pointnet_channels_per_layer == (16, 32)
+    assert mp.nr_downsamples == 2 and mp.nr_blocks_bottleneck == 1
+    ld = cfg["loader_semantic_kitti"]
+    assert ld["cap_distance"] == 60 and ld["do_overfit"] is False
+    assert ld["transformer"]["random_mirror_x"] is True
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/config").exists(), reason="reference tree not mounted"
+)
+def test_all_reference_configs_parse():
+    from lattice_net_tpu.config import load_config
+
+    for f in sorted(Path("/root/reference/config").glob("*.cfg")):
+        cfg = load_config(f)
+        assert isinstance(cfg, dict) and cfg, f
+
+
+def test_config_overrides():
+    from lattice_net_tpu.config import ConfigError, apply_overrides, load_config
+
+    cfg = load_config(FIXTURES / "reference_lnn_train_semantic_kitti.cfg")
+    apply_overrides(
+        cfg,
+        [
+            "train.lr=0.003",
+            "lattice_gpu.hash_table_capacity=65536",
+            "loader_semantic_kitti.do_overfit=true",
+            "model.nr_blocks_down_stage=[2,2]",
+            'train.checkpoint_path="ckpts"',
+            "newsection.key=hello",
+        ],
+    )
+    assert cfg["train"]["lr"] == 0.003
+    assert cfg["lattice_gpu"]["hash_table_capacity"] == 65536
+    assert cfg["loader_semantic_kitti"]["do_overfit"] is True
+    assert cfg["model"]["nr_blocks_down_stage"] == [2, 2]
+    assert cfg["train"]["checkpoint_path"] == "ckpts"
+    assert cfg["newsection"]["key"] == "hello"
+    with pytest.raises(ConfigError):
+        apply_overrides(cfg, ["no_equals_sign"])
+    with pytest.raises(ConfigError):
+        apply_overrides(cfg, ["train.lr.x=1"])  # lr is not a section

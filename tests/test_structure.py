@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from lattice_net_tpu.lattice import permutohedral as pm
@@ -298,3 +299,28 @@ def test_canonical_order_clusters_splat_idx(rng):
         if v.any():
             col0.append(blk[v].max() - blk[v].min())
     assert np.percentile(col0, 99) < 640, np.percentile(col0, 99)
+
+
+def test_explicit_simplex_mode_validates_envelope(rng):
+    # an explicit coarse_mode="simplex" outside the 31-bit signature
+    # envelope must raise, not silently merge distinct simplices
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(64, 2)), jnp.float32)  # d != 3
+    with pytest.raises(ValueError, match="simplex"):
+        st.build_hierarchy(pts, 0.3, 1, (512, 256), coarse_mode="simplex")
+    pts3 = jnp.asarray(rng.uniform(-1, 1, size=(64, 3)), jnp.float32)
+    with pytest.raises(ValueError, match="simplex"):
+        # capacity 2^23 pushes sig_bits past 30
+        st.build_hierarchy(pts3, 0.3, 1, (1 << 23, 256), coarse_mode="simplex")
+
+
+def test_check_positions_sigma_bound():
+    # the packed-key bound must be enforced at the data boundary when sigma
+    # is provided (ADVICE r1: silently overflowing int32 keys corrupt sorts)
+    from lattice_net_tpu.lattice.ops import check_positions
+
+    p = np.zeros((8, 3), np.float32)
+    p[0] = 1e5  # 100 km scene
+    check_positions(p)  # no sigma: only dtype/finite checks
+    with pytest.raises(ValueError, match="too large"):
+        check_positions(p, sigma=0.6)
+    check_positions(p, sigma=100.0)  # large sigma keeps keys in bound

@@ -163,3 +163,39 @@ def test_load_params_across_optimizers(tmp_path):
     restored = load_params(tmp_path / "c.ckpt", template)
     np.testing.assert_array_equal(np.asarray(restored["params"]["Dense_0"]["kernel"]), 1.0)
     np.testing.assert_array_equal(np.asarray(restored["params"]["Dense_0"]["bias"]), 0.0)
+
+
+def test_batched_clouds_chunks_oversized_in_eval():
+    # VERDICT r1 #5: the test phase must evaluate EVERY point of clouds
+    # larger than the static budget (the reference forwards full clouds,
+    # ln_eval.py:117-120); only the train phase may subsample.
+    import numpy as np
+
+    from lattice_net_tpu.data.toy import ToyCloud
+    from lattice_net_tpu.models import ModelParams
+    from lattice_net_tpu.train.ln_train import batched_clouds
+
+    n, n_points = 100, 32
+    rng = np.random.default_rng(0)
+    cloud = ToyCloud(
+        V=rng.normal(size=(n, 3)).astype(np.float32),
+        C=np.zeros((n, 3), np.float32),
+        I=np.zeros((n, 1), np.float32),
+        L_gt=np.arange(n).reshape(n, 1) % 7,
+    )
+    mp = ModelParams(nr_classes=7)
+
+    # eval: chunks cover all 100 points exactly once (4 chunks of <=32)
+    batches = list(batched_clouds([cloud], mp, 2, n_points, False, chunk_oversized=True))
+    targets = []
+    for buf, real in batches:
+        for p, v, t in buf[:real]:
+            assert p.shape[0] <= n_points
+            targets.append(np.asarray(t).ravel())
+    got = np.concatenate(targets)
+    assert got.shape[0] == n
+    assert np.array_equal(np.sort(got), np.sort(np.arange(n) % 7))
+
+    # train path unchanged: one full cloud per slot (subsampled downstream)
+    batches = list(batched_clouds([cloud], mp, 1, n_points, False))
+    assert len(batches) == 1 and batches[0][0][0][0].shape[0] == n
