@@ -75,6 +75,32 @@ def leaky_relu_gain(slope: float = LEAKY_SLOPE) -> float:
 # group norm over real vertices only
 # ---------------------------------------------------------------------------
 
+# Distributed-norm context (lattice-sharded mode, parallel/lattice_sharded):
+# when set, masked norm statistics are computed over OWNED vertices only
+# (ghost/halo copies would double-count) and psum-reduced over the named mesh
+# axis, so every shard normalises with the exact global moments.  Keyed by
+# table capacity — the sharded runner asserts per-level capacities are
+# distinct.  Plain single-device paths never touch this.
+_NORM_DIST = None  # None | (axis_name, {capacity: own_mask})
+
+
+class norm_stats_distributed:
+    """Context manager: reduce masked norm stats over a shard_map axis."""
+
+    def __init__(self, axis_name: str, own_masks: Mapping):
+        self.state = (axis_name, dict(own_masks))
+
+    def __enter__(self):
+        global _NORM_DIST
+        self._prev = _NORM_DIST
+        _NORM_DIST = self.state
+        return self
+
+    def __exit__(self, *exc):
+        global _NORM_DIST
+        _NORM_DIST = self._prev
+        return False
+
 
 def masked_group_norm(lv, mask, num_groups, scale, bias, eps=1e-5):
     """GroupNorm whose statistics ignore padded rows.
@@ -92,7 +118,12 @@ def masked_group_norm(lv, mask, num_groups, scale, bias, eps=1e-5):
     # lane dim, and 1-lane arrays pad x128 in VMEM — measured 1.5 ms per GN
     # at 65536x32 where ~0.15 ms is the real cost.  Per-channel moment sums
     # reduce to per-group stats on (g,)-sized arrays instead.
-    count = jnp.maximum(jnp.sum(m) * gs, 1.0)
+    dist = _NORM_DIST
+    if dist is not None:
+        axis_name, own_masks = dist
+        own = own_masks.get(cap)
+        if own is not None:
+            m = m * own[:, None].astype(lv.dtype)
     # E[x^2] - E[x]^2 cancels catastrophically when |mean| >> spread; shift
     # each group by a constant near its mean (row 0 is always a real vertex
     # — sorted tables put valid rows first) before forming the moments.  The
@@ -100,11 +131,22 @@ def masked_group_norm(lv, mask, num_groups, scale, bias, eps=1e-5):
     # exactly invariant, and stop_gradient keeps the backward identical to
     # the unshifted formulation.
     t_g = jax.lax.stop_gradient(lv[0]).reshape(g, gs).mean(-1)  # (g,)
+    count = jnp.sum(m) * gs
+    if dist is not None:
+        # one consistent shift across shards, then exact global moments
+        # (psum BEFORE the >=1 clamp: a shard with zero owned vertices must
+        # contribute 0, not a clamped 1)
+        t_g = jax.lax.pmean(t_g, axis_name)
+        count = jax.lax.psum(count, axis_name)
+    count = jnp.maximum(count, 1.0)
     t_c = jnp.repeat(t_g, gs)  # (c,)
     lvs = lv - t_c
     lvm = lvs * m
     s1 = jnp.sum(lvm, axis=0)  # (c,)
     s2 = jnp.sum(lvm * lvs, axis=0)  # (c,)
+    if dist is not None:
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
     gmean_s = s1.reshape(g, gs).sum(-1) / count  # shifted group mean
     gvar = jnp.maximum(s2.reshape(g, gs).sum(-1) / count - gmean_s * gmean_s, 0.0)
     mean_c = jnp.repeat(gmean_s + t_g, gs)  # (c,)

@@ -184,3 +184,245 @@ def make_sharded_splat_conv_slice(
         return out[None], nv[None], ov[None]
 
     return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# full-model sharded forward + train step
+# ---------------------------------------------------------------------------
+
+
+def receptive_band_units(model_params, d: int) -> float:
+    """Halo band width (in level-0 scaled elev0 units) covering the LNN
+    receptive field.
+
+    One 1-hop conv at level ``l`` moves information by at most (d+1) * 2^l in
+    level-0 key units (axis moves change key[0] by +1 or -d, and level-l keys
+    sit at 2^l spacing); coarsen/finefy transitions are cross-level 1-hop
+    convs with the same bound.  Summing the conv count per level over the
+    whole U-Net (pointnet conv, resnet = 2 convs, bottleneck block = 1 conv
+    with 1x1s around it, transitions, head 1x1s move nothing) plus a (d+1)
+    margin for a point's own simplex span and one more for rem0 rounding
+    gives a sound band.  Wider nets pay linearly in halo points, never in
+    extra collectives.
+    """
+    p = model_params
+    convs_at_level = [0] * (p.nr_downsamples + 1)
+    convs_at_level[0] += 1  # pointnet's 1-hop conv
+    for i in range(p.nr_downsamples):
+        per_block = 2 if i < p.nr_levels_down_with_normal_resnet else 1
+        convs_at_level[i] += p.nr_blocks_down_stage[i] * per_block
+        convs_at_level[i + 1] += 1  # coarsen transition reads level i... but
+        # the coarsen conv reads FINE neighbours at level-i spacing; count it
+        # at level i (the 2^l factor below is the reader's spacing)
+    convs_at_level[p.nr_downsamples] += p.nr_blocks_bottleneck  # bottleneck convs
+    for i in range(p.nr_downsamples):
+        lvl = p.nr_downsamples - 1 - i
+        convs_at_level[lvl + 1] += 1  # finefy reads coarse neighbours
+        per_block = 2 if i >= p.nr_downsamples - p.nr_levels_up_with_normal_resnet else 1
+        convs_at_level[lvl] += p.nr_blocks_up_stage[i] * per_block
+    units = sum(c * (1 << l) for l, c in enumerate(convs_at_level))
+    return float((units + 3) * (d + 1))
+
+
+def _halo_concat(pos, val, extra, mask, bounds, sigma, band, halo_budget, axis, n_shards):
+    """Exchange boundary-band rows with both stripe neighbours over ICI.
+
+    Returns (all_pos, all_val, all_extra, all_mask): own rows first, then the
+    left neighbour's right band, then the right neighbour's left band.
+    ``extra`` carries any per-point payload (e.g. targets as float) that ghost
+    points need locally.
+    """
+    i = jax.lax.axis_index(axis)
+    s = elev0(pos, sigma)
+    lo = bounds[i]
+    hi = bounds[i + 1]
+
+    feat = jnp.concatenate(
+        [pos, val, extra, mask[:, None].astype(pos.dtype)], axis=-1
+    )
+    right_rows, _ = _pack_rows(feat, mask & (s >= hi - band), halo_budget)
+    left_rows, _ = _pack_rows(feat, mask & (s < lo + band), halo_budget)
+
+    def shift(rows, up):
+        perm = [
+            (j, j + 1) if up else (j, j - 1)
+            for j in range(n_shards)
+            if 0 <= (j + 1 if up else j - 1) < n_shards
+        ]
+        return jax.lax.ppermute(rows, axis, perm)
+
+    from_left = shift(right_rows, up=True)
+    from_right = shift(left_rows, up=False)
+
+    all_feat = jnp.concatenate([feat, from_left, from_right], axis=0)
+    d = pos.shape[-1]
+    cv = val.shape[-1]
+    return (
+        all_feat[:, :d],
+        all_feat[:, d : d + cv],
+        all_feat[:, d + cv : -1],
+        all_feat[:, -1] > 0.5,
+    )
+
+
+def make_sharded_lnn_forward(
+    mesh: Mesh,
+    model,
+    sigma,
+    nr_levels: int,
+    caps_local,
+    halo_budget: int,
+    axis: str = "sp",
+):
+    """Jitted FULL-LNN forward with the vertex table sharded over ``axis``.
+
+    The complete scale-out answer to the reference's 5M-entry single-GPU hash
+    table (``config/lnn_train_scannet.cfg:50-53``): points are striped by
+    their first elevated coordinate, each shard builds a complete local
+    hierarchy from its own points plus a receptive-field halo of ghost points
+    (one ppermute each way), the U-Net runs per shard with GroupNorm moments
+    psum-reduced over OWNED vertices only (nn.modules.norm_stats_distributed),
+    and each shard keeps logits for its own points — every point predicted
+    exactly once, every norm exactly global.
+
+    Returns ``fn(params, pos_s, val_s, mask_s, bounds) -> (logp_s, nr_verts_s,
+    overflow_s)`` over arrays stacked on a leading n_shards axis (see
+    ``shard_points_host``).
+    """
+    from lattice_net_tpu.lattice.structure import build_hierarchy
+    from lattice_net_tpu.nn import modules as lnm
+
+    caps_local = tuple(int(c) for c in caps_local)
+    if len(set(caps_local)) != len(caps_local):
+        raise ValueError(
+            f"sharded mode needs distinct per-level capacities, got {caps_local}"
+        )
+    n_shards = mesh.shape[axis]
+    mp = model.params
+
+    def per_device(params, pos, val, mask, bounds):
+        d = pos.shape[-1]
+        band = receptive_band_units(mp, d)
+        i = jax.lax.axis_index(axis)
+        all_pos, all_val, _, all_mask = _halo_concat(
+            pos, val, jnp.zeros((pos.shape[0], 0), pos.dtype), mask, bounds,
+            sigma, band, halo_budget, axis, n_shards,
+        )
+        h = build_hierarchy(
+            all_pos, sigma, nr_levels, caps_local, point_mask=all_mask
+        )
+        # per-level ownership: a vertex belongs to the stripe containing its
+        # first elevated coordinate (level-l keys sit at 2^l spacing in
+        # level-0 units); every vertex lands in exactly one stripe globally
+        lo, hi = bounds[i], bounds[i + 1]
+        own_masks = {}
+        for l, s_l in enumerate(h.structures):
+            coord = s_l.keys[:, 0].astype(jnp.float32) * float(1 << l)
+            own_masks[s_l.capacity] = (
+                (coord >= lo) & (coord < hi) & s_l.occupancy_mask()
+            )
+        with lnm.norm_stats_distributed(axis, own_masks):
+            logp, _ = model.apply(params, h, all_pos, all_val)
+        n_own = pos.shape[0]
+        overflow = sum(s.nr_overflow for s in h.structures)
+        return logp[:n_own], h.structures[0].nr_verts, overflow
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def run(params, pos_s, val_s, mask_s, bounds):
+        logp, nv, ov = per_device(params, pos_s[0], val_s[0], mask_s[0], bounds)
+        return logp[None], nv[None], ov[None]
+
+    return jax.jit(run)
+
+
+def make_sharded_lnn_train_step(
+    mesh: Mesh,
+    model,
+    tx,
+    sigma,
+    nr_levels: int,
+    caps_local,
+    halo_budget: int,
+    ignore_index: int = -1,
+    axis: str = "sp",
+):
+    """Jitted sharded TRAIN step: one cloud striped over the mesh, replicated
+    params, gradients of the global masked loss psum-reduced over ICI.
+
+    The loss is the mean NLL+Lovász-style segmentation loss over OWN valid
+    points of every shard (each point counted once); ``jax.grad`` of the
+    shard_mapped loss differentiates through the halo ppermutes and the
+    distributed GroupNorm psums, so gradients are exactly those of the
+    corresponding single-device step.
+    """
+    import optax
+
+    from lattice_net_tpu.lattice.structure import build_hierarchy
+    from lattice_net_tpu.losses import segmentation_loss
+    from lattice_net_tpu.nn import modules as lnm
+    from lattice_net_tpu.parallel.data_parallel import TrainState
+
+    caps_local = tuple(int(c) for c in caps_local)
+    n_shards = mesh.shape[axis]
+    mp = model.params
+
+    def shard_loss(params, pos, val, tgt, mask, bounds):
+        d = pos.shape[-1]
+        band = receptive_band_units(mp, d)
+        i = jax.lax.axis_index(axis)
+        all_pos, all_val, _, all_mask = _halo_concat(
+            pos, val, jnp.zeros((pos.shape[0], 0), pos.dtype), mask, bounds,
+            sigma, band, halo_budget, axis, n_shards,
+        )
+        h = build_hierarchy(all_pos, sigma, nr_levels, caps_local, point_mask=all_mask)
+        lo, hi = bounds[i], bounds[i + 1]
+        own_masks = {}
+        for l, s_l in enumerate(h.structures):
+            coord = s_l.keys[:, 0].astype(jnp.float32) * float(1 << l)
+            own_masks[s_l.capacity] = (
+                (coord >= lo) & (coord < hi) & s_l.occupancy_mask()
+            )
+        with lnm.norm_stats_distributed(axis, own_masks):
+            logp, _ = model.apply(params, h, all_pos, all_val)
+        n_own = pos.shape[0]
+        # per-shard loss over own valid points, weighted by the shard's valid
+        # count: the NLL half then psums to exactly the global per-point
+        # mean; the Lovász half becomes a per-SHARD Lovász average — the same
+        # decomposition the DP trainer applies per cloud (make_loss_fn vmaps
+        # Lovász per cloud and means over the batch)
+        own_valid = mask & (tgt != ignore_index)
+        cnt = jnp.sum(own_valid.astype(jnp.float32))
+        loss_mean = segmentation_loss(logp[:n_own], tgt, ignore_index, None, mask)
+        return loss_mean * cnt, cnt
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def global_loss(params, pos_s, val_s, tgt_s, mask_s, bounds):
+        lsum, cnt = shard_loss(params, pos_s[0], val_s[0], tgt_s[0], mask_s[0], bounds)
+        lsum = jax.lax.psum(lsum, axis)
+        cnt = jax.lax.psum(cnt, axis)
+        return lsum / jnp.maximum(cnt, 1.0)
+
+    def step(state: TrainState, pos_s, val_s, tgt_s, mask_s, bounds):
+        loss, grads = jax.value_and_grad(global_loss)(
+            state.params, pos_s, val_s, tgt_s, mask_s, bounds
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            loss,
+        )
+
+    return jax.jit(step)
