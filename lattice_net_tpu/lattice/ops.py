@@ -13,6 +13,7 @@ mask, all scatters use mode='drop'.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -511,11 +512,109 @@ def gather_neighbor_values(
     return gather_neighbor_values_xla(values, neighbors, include_center_self)
 
 
+def _conv_fwd_impl(
+    values: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    weight: jnp.ndarray,
+    same_level: bool,
+) -> jnp.ndarray:
+    """Shared conv body: (bf16 cast on TPU) patch gather + one MXU GEMM."""
+    conv_dt = os.environ.get("LNT_CONV_DTYPE", "")
+    if conv_dt == "bf16" or (conv_dt != "f32" and _fast_ops()):
+        values = values.astype(jnp.bfloat16)
+        weight = weight.astype(jnp.bfloat16)
+    patch = gather_neighbor_values(values, neighbors, include_center_self=same_level)
+    cq, extent, c_in = patch.shape
+    assert weight.shape[0] == extent * c_in, (
+        f"filter bank rows {weight.shape[0]} != extent*C_in {extent * c_in}"
+    )
+    # accumulate in at least f32 (bf16 inputs accumulate f32; f64 stays f64)
+    acc = jnp.result_type(patch.dtype, weight.dtype, jnp.float32)
+    return jnp.dot(patch.reshape(cq, extent * c_in), weight, preferred_element_type=acc)
+
+
+@functools.lru_cache(maxsize=None)
+def _swap_pm_perm(k: int):
+    """Slot permutation exchanging each +/- move pair; a trailing odd slot
+    (the centre of cross-level tables / the appended centre of same-level
+    patches) stays in place."""
+    import numpy as np
+
+    sw = np.arange(k)
+    pairs = k - (k % 2)
+    sw[0:pairs:2] = np.arange(1, pairs, 2)
+    sw[1:pairs:2] = np.arange(0, pairs, 2)
+    return tuple(int(x) for x in sw)
+
+
+def _flip_filter_bank(weight: jnp.ndarray, extent: int, c_in: int, c_out: int) -> jnp.ndarray:
+    """(extent*C_in, C_out) filter bank -> the adjoint bank (extent*C_out, C_in).
+
+    The reference's flip-neighbours transposed-conv trick
+    (``lattice_funcs.py:280-320``): the adjoint convolution gathers with the
+    +/- swapped table and multiplies with the per-slot TRANSPOSED weight
+    blocks of the opposite-sign slot; the centre block (last) self-pairs.
+    """
+    import numpy as np
+
+    w = weight.reshape(extent, c_in, c_out)
+    sw = np.asarray(_swap_pm_perm(extent))
+    return w[sw].transpose(0, 2, 1).reshape(extent * c_out, c_in)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _conv_flip(values, weight, neighbors, neighbors_t, same_level):
+    return _conv_fwd_impl(values, neighbors, weight, same_level)
+
+
+def _conv_flip_fwd(values, weight, neighbors, neighbors_t, same_level):
+    out = _conv_fwd_impl(values, neighbors, weight, same_level)
+    return out, (values, weight, neighbors, neighbors_t)
+
+
+def _conv_flip_bwd(same_level, res, g):
+    values, weight, neighbors, neighbors_t = res
+    k = neighbors.shape[1]
+    extent = k + 1 if same_level else k
+    c_in = values.shape[1]
+    c_out = weight.shape[1]
+
+    # d_weight = patchᵀ @ g — the patch gather is recomputed, exactly like
+    # the reference backward re-runs im2row (``lattice_funcs.py:294-298``)
+    conv_dt = os.environ.get("LNT_CONV_DTYPE", "")
+    bf16 = conv_dt == "bf16" or (conv_dt != "f32" and _fast_ops())
+    v = values.astype(jnp.bfloat16) if bf16 else values
+    patch = gather_neighbor_values(v, neighbors, include_center_self=same_level)
+    gq = g.astype(patch.dtype)
+    acc = jnp.result_type(patch.dtype, jnp.float32)
+    d_w = jnp.dot(
+        patch.reshape(patch.shape[0], extent * c_in).T, gq, preferred_element_type=acc
+    ).astype(weight.dtype)
+
+    # d_values: the adjoint is ANOTHER 1-hop conv — gather g over the paired
+    # (transposed) table with the flipped filter bank — instead of XLA's
+    # scatter-add (measured ~4x slower at lattice shapes)
+    wf = _flip_filter_bank(weight, extent, c_in, c_out)
+    d_vals = _conv_fwd_impl(g.astype(values.dtype), neighbors_t, wf, same_level)
+    return d_vals.astype(values.dtype), d_w, None, None
+
+
+_conv_flip.defvjp(_conv_flip_fwd, _conv_flip_bwd)
+
+
+def _flip_vjp() -> bool:
+    env = os.environ.get("LNT_FLIP_VJP")
+    if env is not None:
+        return env != "0"
+    return True
+
+
 def conv_im2row(
     values: jnp.ndarray,
     neighbors: jnp.ndarray,
     weight: jnp.ndarray,
     same_level: bool,
+    neighbors_t: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """1-hop lattice convolution: gather patch rows, one GEMM on the MXU.
 
@@ -529,24 +628,31 @@ def conv_im2row(
     itself; cross-level tables (coarsen/finefy) carry the centre index as
     their last column.
 
+    Backward: the adjoint w.r.t. ``values`` is computed as another 1-hop conv
+    over the +/- swapped table (``neighbors_t``) with the flipped-transposed
+    filter bank — the reference's flip-neighbours trick
+    (``lattice_funcs.py:306-313``) — instead of XLA's scatter-add adjoint.
+    Same-level tables are their own transpose under the +/- swap; cross-level
+    convs must pass the PAIRED table (coarsen <-> finefy, exact transposes by
+    construction, see structure.finefy_from_coarsen_transpose).  Without
+    ``neighbors_t`` (cross-level callers that don't have the pair at hand)
+    the plain AD adjoint applies.  LNT_FLIP_VJP=0 disables the trick.
+
     On TPU the conv runs in bf16 by default (f32 accumulation): bf16 parity
     was verified at mIoU level (docs/runs), the patch gather halves its bytes
     AND becomes eligible for the Pallas one-hot-MXU window kernel
     (ops_tpu.patch), and the GEMM takes the fast MXU path.  Set
     LNT_CONV_DTYPE=f32 to opt out (CPU/tests default to f32 already).
     """
-    conv_dt = os.environ.get("LNT_CONV_DTYPE", "")
-    if conv_dt == "bf16" or (conv_dt != "f32" and _fast_ops()):
-        values = values.astype(jnp.bfloat16)
-        weight = weight.astype(jnp.bfloat16)
-    patch = gather_neighbor_values(values, neighbors, include_center_self=same_level)
-    cq, extent, c_in = patch.shape
-    assert weight.shape[0] == extent * c_in, (
-        f"filter bank rows {weight.shape[0]} != extent*C_in {extent * c_in}"
-    )
-    # accumulate in at least f32 (bf16 inputs accumulate f32; f64 stays f64)
-    acc = jnp.result_type(patch.dtype, weight.dtype, jnp.float32)
-    return jnp.dot(patch.reshape(cq, extent * c_in), weight, preferred_element_type=acc)
+    if _flip_vjp():
+        if same_level and neighbors_t is None:
+            # same-level reciprocity nbr[v, a+] = u  <=>  nbr[u, a-] = v means
+            # the table is its own transpose once the WEIGHTS are flipped —
+            # the adjoint gathers over the very same table
+            neighbors_t = neighbors
+        if neighbors_t is not None:
+            return _conv_flip(values, weight, neighbors, neighbors_t, same_level)
+    return _conv_fwd_impl(values, neighbors, weight, same_level)
 
 
 def expand(

@@ -1,0 +1,130 @@
+"""Train-step latency breakdown at bench shapes (chained dispatch).
+
+The bench's train-step metric (bench.py) covers build + forward + loss +
+backward + AdamW in one jitted program; this tool splits that wall time into
+deltas so the backward cost is attributable:
+
+  A  forward loss only (build inside, no grad)
+  B  value_and_grad of the same loss           -> (B - A) = total backward
+  C  value_and_grad with the hierarchy PREBUILT outside the grad closure
+     -> (B - C) = cost of carrying the build inside the AD program
+  D  optimizer update alone (grads precomputed)
+
+Every stage threads its scalar result back into the input positions so the
+axon runtime executes each iteration fully (CLAUDE.md: unchained loops lie).
+
+    python -m lattice_net_tpu.misc.profile_train [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n-points", type=int, default=1 << 17)
+    ap.add_argument("--cap", type=int, default=1 << 16)
+    ap.add_argument("--sigma", type=float, default=0.6)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bench import synthetic_kitti_scan
+    from lattice_net_tpu.lattice.structure import build_hierarchy
+    from lattice_net_tpu.losses import segmentation_loss
+    from lattice_net_tpu.models import LNN, ModelParams
+    from lattice_net_tpu.parallel import TrainState
+    from lattice_net_tpu.train import make_optimizer
+
+    mp = ModelParams(
+        nr_classes=20,
+        pointnet_channels_per_layer=(16, 32),
+        pointnet_start_nr_channels=32,
+        nr_downsamples=2,
+        nr_blocks_down_stage=(1, 1),
+        nr_blocks_bottleneck=1,
+        nr_blocks_up_stage=(1, 1),
+        nr_levels_down_with_normal_resnet=3,
+        nr_levels_up_with_normal_resnet=3,
+    )
+    sigma = args.sigma
+    n = args.n_points
+    caps = (args.cap, args.cap >> 1, args.cap >> 3)
+
+    positions = jnp.asarray(synthetic_kitti_scan(n))
+    values = jnp.zeros((n, 1), jnp.float32)
+    target = jnp.asarray(np.random.default_rng(1).integers(1, 20, n), jnp.int32)
+
+    model = LNN(mp)
+    h0 = build_hierarchy(positions, sigma, mp.nr_downsamples, caps)
+    params = model.init(jax.random.PRNGKey(0), h0, positions, values)
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(params, tx)
+
+    def loss_of(params, positions):
+        h = build_hierarchy(positions, sigma, mp.nr_downsamples, caps)
+        logp, _ = model.apply(params, h, positions, values)
+        return segmentation_loss(logp, target, 0, None, None)
+
+    def loss_prebuilt(params, h, positions):
+        logp, _ = model.apply(params, h, positions, values)
+        return segmentation_loss(logp, target, 0, None, None)
+
+    def timeit(name, fn, *arrs):
+        out = fn(*arrs)  # compile + warm
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        a = arrs
+        for _ in range(args.iters):
+            out = fn(*a)
+            # feed the scalar back into positions (chained dispatch)
+            fb = (out[0] if isinstance(out, tuple) else out).reshape(-1)[0] * 1e-12
+            a = (arrs[0], arrs[1] + fb) + arrs[2:]
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters * 1000
+        print(f"{name:55s} {dt:8.3f} ms")
+        return dt
+
+    # A: forward loss
+    f_fwd = jax.jit(lambda p, pos: loss_of(p, pos))
+    a = timeit("A forward loss (build + fwd + loss)", f_fwd, params, positions)
+
+    # B: full grad
+    f_grad = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos)[0])
+    b = timeit("B value_and_grad (build inside)", f_grad, params, positions)
+
+    # C: grad with prebuilt hierarchy (build outside AD, same program builds
+    # the hierarchy first, then differentiates only the network)
+    def c_fn(p, pos):
+        h = build_hierarchy(pos, sigma, mp.nr_downsamples, caps)
+        return jax.value_and_grad(loss_prebuilt)(p, h, pos)[0]
+
+    c = timeit("C build, then value_and_grad of network only", jax.jit(c_fn), params, positions)
+
+    # D: optimizer update alone
+    grads = jax.jit(lambda p, pos: jax.grad(loss_of)(p, pos))(params, positions)
+    jax.block_until_ready(grads)
+
+    def d_fn(p, pos, g):
+        upd, _ = tx.update(g, state.opt_state, p)
+        import optax
+
+        newp = optax.apply_updates(p, upd)
+        return jax.tree.leaves(newp)[0]
+
+    d = timeit("D optimizer update only", jax.jit(d_fn), params, positions, grads)
+
+    print(f"\nbackward total (B - A): {b - a:8.3f} ms")
+    print(f"AD-of-build overhead (B - C): {b - c:8.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

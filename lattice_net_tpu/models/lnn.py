@@ -165,7 +165,11 @@ class LNN(nn.Module):
                     )
             skip_values.append(lv)
             # downsample: coarsen conv + LeakyReLU (models.py:129-134 CoarsenAct)
-            lv = lnm.CoarsenAct(cur, after)(lv, h.neighbors_coarsen[i])
+            # (the finefy table is the coarsen table's exact transpose — it
+            # routes the backward through the flip-neighbours adjoint conv)
+            lv = lnm.CoarsenAct(cur, after)(
+                lv, h.neighbors_coarsen[i], h.neighbors_finefy[i]
+            )
 
         # --- bottleneck
         bott_ch = down_plan[-1][1]
@@ -179,7 +183,7 @@ class LNN(nn.Module):
             cur, finefy_out, skip_ch = up_plan[i]
             lvl = p.nr_downsamples - 1 - i  # fine level we are going to
             lv = lnm.GnReluFinefy(cur, finefy_out)(
-                lv, h.neighbors_finefy[lvl], masks[lvl + 1]
+                lv, h.neighbors_finefy[lvl], masks[lvl + 1], h.neighbors_coarsen[lvl]
             )
             lv = jnp.concatenate([lv, skip_values.pop()], axis=-1)
             ch = skip_ch + finefy_out

@@ -334,12 +334,16 @@ class _CrossLevelConv(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, lv_src, neighbors):
+    def __call__(self, lv_src, neighbors, neighbors_t=None):
         extent = neighbors.shape[1]  # 2(d+1)+1, centre included in table
         rows = extent * self.in_channels
         kinit = kaiming_uniform_rows(rows / 2.0, mult=2.0)
         weight = self.param("weight", kinit, (rows, self.out_channels))
-        out = lops.conv_im2row(lv_src, neighbors, weight, same_level=False)
+        # neighbors_t (the paired coarsen<->finefy table) routes the backward
+        # through the flip-neighbours adjoint conv instead of a scatter-add
+        out = lops.conv_im2row(
+            lv_src, neighbors, weight, same_level=False, neighbors_t=neighbors_t
+        )
         if self.use_bias:
             out = out + self.param("bias", uniform_bias(rows), (self.out_channels,))
         return out
@@ -402,8 +406,10 @@ class CoarsenAct(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, lv_fine, coarsen_table):
-        lv = CoarsenConv(self.in_channels, self.out_channels)(lv_fine, coarsen_table)
+    def __call__(self, lv_fine, coarsen_table, finefy_table=None):
+        lv = CoarsenConv(self.in_channels, self.out_channels)(
+            lv_fine, coarsen_table, finefy_table
+        )
         return jax.nn.leaky_relu(lv, LEAKY_SLOPE)
 
 
@@ -427,10 +433,12 @@ class GnReluFinefy(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, lv_coarse, finefy_table, coarse_mask):
+    def __call__(self, lv_coarse, finefy_table, coarse_mask, coarsen_table=None):
         lv = GroupNormLattice(self.in_channels)(lv_coarse, coarse_mask)
         lv = jax.nn.relu(lv)
-        return FinefyConv(self.in_channels, self.out_channels)(lv, finefy_table)
+        return FinefyConv(self.in_channels, self.out_channels)(
+            lv, finefy_table, coarsen_table
+        )
 
 
 class ResnetBlock(nn.Module):

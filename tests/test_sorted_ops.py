@@ -227,3 +227,64 @@ def test_coarse_from_vertices_covers_reference_patches():
     ]
     frac = len(missing) / max(int(has_input.sum()), 1)
     assert frac < 0.15, f"proxy build missing {frac:.1%} of reachable coarse vertices"
+
+
+def test_conv_flip_vjp_matches_ad(hier):
+    # the flip-neighbours adjoint conv must produce exactly the gradients of
+    # plain AD (whose adjoint is a scatter-add) for both same-level and
+    # cross-level (paired coarsen/finefy table) convolutions
+    rng = np.random.default_rng(11)
+    pos, mask, h = hier
+    s0, s1 = h.structures[0], h.structures[1]
+    cap0, cap1 = s0.capacity, s1.capacity
+    c_in, c_out = 6, 5
+
+    # same-level
+    nbr = h.neighbors_same[0]
+    extent = nbr.shape[1] + 1
+    v = jnp.asarray(rng.normal(size=(cap0, c_in)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(extent * c_in, c_out)).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.normal(size=(cap0, c_out)).astype(np.float32))
+
+    def loss_flip(v, w):
+        return jnp.sum(ops.conv_im2row(v, nbr, w, same_level=True) * cot)
+
+    def loss_ref(v, w):
+        return jnp.sum(ops._conv_fwd_impl(v, nbr, w, same_level=True) * cot)
+
+    gv_f, gw_f = jax.grad(loss_flip, argnums=(0, 1))(v, w)
+    gv_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(v, w)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-5)
+
+    # cross-level: coarsen conv (values on fine, out on coarse) with the
+    # finefy table as the paired transpose, and the mirrored finefy conv
+    ctab, ftab = h.neighbors_coarsen[0], h.neighbors_finefy[0]
+    extent_x = ctab.shape[1]
+    wx = jnp.asarray(rng.normal(size=(extent_x * c_in, c_out)).astype(np.float32) * 0.1)
+    cot_c = jnp.asarray(rng.normal(size=(cap1, c_out)).astype(np.float32))
+
+    def loss_flip_x(v, w):
+        return jnp.sum(ops.conv_im2row(v, ctab, w, False, neighbors_t=ftab) * cot_c)
+
+    def loss_ref_x(v, w):
+        return jnp.sum(ops._conv_fwd_impl(v, ctab, w, False) * cot_c)
+
+    gv_f, gw_f = jax.grad(loss_flip_x, argnums=(0, 1))(v, wx)
+    gv_r, gw_r = jax.grad(loss_ref_x, argnums=(0, 1))(v, wx)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-5)
+
+    vc = jnp.asarray(rng.normal(size=(cap1, c_in)).astype(np.float32))
+    cot_f = jnp.asarray(rng.normal(size=(cap0, c_out)).astype(np.float32))
+
+    def loss_flip_y(v, w):
+        return jnp.sum(ops.conv_im2row(v, ftab, w, False, neighbors_t=ctab) * cot_f)
+
+    def loss_ref_y(v, w):
+        return jnp.sum(ops._conv_fwd_impl(v, ftab, w, False) * cot_f)
+
+    gv_f, gw_f = jax.grad(loss_flip_y, argnums=(0, 1))(vc, wx)
+    gv_r, gw_r = jax.grad(loss_ref_y, argnums=(0, 1))(vc, wx)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-5)

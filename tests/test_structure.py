@@ -324,3 +324,105 @@ def test_check_positions_sigma_bound():
     with pytest.raises(ValueError, match="too large"):
         check_positions(p, sigma=0.6)
     check_positions(p, sigma=100.0)  # large sigma keeps keys in bound
+
+
+def _edges_equiv(n, d1, cap, e_fast, e_ref):
+    # vertex stream and run ends must match exactly; perm may order edges
+    # differently WITHIN a run (intra-run order is semantically free) but
+    # must be a bijection mapping each position to an edge of that vertex
+    vf, vr = np.asarray(e_fast.vertex), np.asarray(e_ref.vertex)
+    np.testing.assert_array_equal(vf, vr)
+    np.testing.assert_array_equal(np.asarray(e_fast.ends), np.asarray(e_ref.ends))
+    pf = np.asarray(e_fast.perm)
+    valid = vf < cap
+    assert len(np.unique(pf[valid])) == valid.sum()  # bijection on valid rows
+    pr = np.asarray(e_ref.perm)
+    # perm must map to edges of the same vertex set: reconstruct vertex from
+    # the reference stream's mapping edge -> vertex
+    edge_vertex = np.full(n * d1, cap, np.int32)
+    edge_vertex[pr[valid]] = vr[valid]
+    np.testing.assert_array_equal(edge_vertex[pf[valid]], vf[valid])
+
+
+def test_canonical_fast_build_matches_generic(rng):
+    from lattice_net_tpu.data.synth_kitti import make_scene
+
+    n = 1 << 13
+    pts = jnp.asarray(make_scene(n, seed=3).V)
+    sigma = 0.6
+    caps = (8192, 4096, 2048)
+    perm = st.canonical_point_order(pts, sigma)
+    pts_c = jnp.take(pts, perm, axis=0)
+
+    h_ref = st.build_hierarchy(pts_c, sigma, 2, caps, canonical_points=False)
+    h_fast = st.build_hierarchy(pts_c, sigma, 2, caps, canonical_points=True)
+
+    for sr, sf in zip(h_ref.structures, h_fast.structures):
+        assert int(sr.nr_verts) == int(sf.nr_verts)
+        # the sparse 8k-point scene overflows L0 — the fast build must agree
+        # on the overflow count and keep the identical table prefix
+        assert int(sr.nr_overflow) == int(sf.nr_overflow)
+        np.testing.assert_array_equal(np.asarray(sr.keys), np.asarray(sf.keys))
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.splat_idx), np.asarray(h_fast.splat_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_ref.splat_weights), np.asarray(h_fast.splat_weights)
+    )
+    _edges_equiv(n, 4, caps[0], h_fast.edges, h_ref.edges)
+    for a, b in zip(h_ref.neighbors_same, h_fast.neighbors_same):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # downstream segment reductions agree (the intra-run order differs, so
+    # float sums may differ in the last ulp only)
+    from lattice_net_tpu.lattice import ops as lops
+
+    vals = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    rows_f, ids_f = lops.distribute_sorted(
+        pts_c, vals, h_fast.edges, caps[0], splat_weights=h_fast.splat_weights
+    )
+    rows_r, ids_r = lops.distribute_sorted(
+        pts_c, vals, h_ref.edges, caps[0], splat_weights=h_ref.splat_weights
+    )
+    sf = lops.seg_sum_sorted(rows_f, h_fast.edges, caps[0])
+    sr = lops.seg_sum_sorted(rows_r, h_ref.edges, caps[0])
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(sr), rtol=1e-5, atol=1e-5)
+
+
+def test_canonical_fast_build_masked_suffix(rng):
+    pts = jnp.asarray(rng.uniform(-3, 3, size=(512, 3)), jnp.float32)
+    mask = jnp.arange(512) < 400
+    perm = st.canonical_point_order(pts, 0.3, point_mask=mask)
+    pts_c = jnp.take(pts, perm, axis=0)
+    mask_c = jnp.take(mask, perm)
+    assert bool(jnp.all(mask_c[:400])) and not bool(jnp.any(mask_c[400:]))
+
+    h_ref = st.build_hierarchy(pts_c, 0.3, 1, (2048, 1024), point_mask=mask_c)
+    h_fast = st.build_hierarchy(
+        pts_c, 0.3, 1, (2048, 1024), point_mask=mask_c, canonical_points=True
+    )
+    assert int(h_ref.structures[0].nr_verts) == int(h_fast.structures[0].nr_verts)
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.structures[0].keys), np.asarray(h_fast.structures[0].keys)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.splat_idx), np.asarray(h_fast.splat_idx)
+    )
+    _edges_equiv(512, 4, 2048, h_fast.edges, h_ref.edges)
+
+
+def test_canonical_fast_build_overflow_falls_back(rng):
+    # rep slots below the unique-simplex count: the lax.cond must take the
+    # generic path and still produce the right structure.  s_cap is derived
+    # from capacities[0]//2, so a small capacity forces a small budget.
+    pts = jnp.asarray(rng.uniform(-8, 8, size=(4096, 3)), jnp.float32)
+    # sigma small -> ~every point its own simplex -> runs >> s_cap
+    h_ref = st.build_hierarchy(pts, 0.2, 1, (4096, 2048), canonical_points=False)
+    h_fast = st.build_hierarchy(pts, 0.2, 1, (4096, 2048), canonical_points=True)
+    assert int(h_ref.structures[0].nr_verts) == int(h_fast.structures[0].nr_verts)
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.structures[0].keys), np.asarray(h_fast.structures[0].keys)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.splat_idx), np.asarray(h_fast.splat_idx)
+    )
