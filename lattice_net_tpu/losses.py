@@ -18,16 +18,18 @@ __all__ = ["lovasz_softmax", "nll_loss", "generalized_dice_loss", "segmentation_
 def _lovasz_grad(gt_sorted: jnp.ndarray, valid_sorted: jnp.ndarray) -> jnp.ndarray:
     """Gradient of the Lovász extension w.r.t. sorted errors (Alg. 1).
 
-    ``gt_sorted`` is the {0,1} ground-truth vector sorted by descending error;
-    ``valid_sorted`` masks out ignored/padded points (they must contribute to
-    neither intersection nor union).
+    ``gt_sorted`` is the {0,1} ground-truth matrix sorted by descending error
+    along the LAST axis (leading axes = classes); ``valid_sorted`` masks out
+    ignored/padded points (they contribute to neither intersection nor union).
     """
     gt = gt_sorted * valid_sorted
-    gts = jnp.sum(gt)
-    intersection = gts - jnp.cumsum(gt)
-    union = gts + jnp.cumsum((1.0 - gt_sorted) * valid_sorted)
+    gts = jnp.sum(gt, axis=-1, keepdims=True)
+    intersection = gts - jnp.cumsum(gt, axis=-1)
+    union = gts + jnp.cumsum((1.0 - gt_sorted) * valid_sorted, axis=-1)
     jaccard = 1.0 - intersection / jnp.maximum(union, 1e-12)
-    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+    return jnp.concatenate(
+        [jaccard[..., :1], jaccard[..., 1:] - jaccard[..., :-1]], axis=-1
+    )
 
 
 def lovasz_softmax(
@@ -42,6 +44,11 @@ def lovasz_softmax(
     exp(log_probs); per present class, errors |1_{y=c} - p_c| are sorted
     descending and dotted with the Lovász gradient; the mean is over classes
     present in the sample (absent classes carry no penalty).
+
+    All classes sort in ONE batched multi-operand ``lax.sort`` that carries
+    gt/valid along as payload operands — the earlier per-class
+    argsort-then-gather formulation dispatched 2 batched (C, N) gathers per
+    class and dominated the whole train step at KITTI scale.
     """
     n, nr_classes = log_probs.shape
     probs = jnp.exp(log_probs)
@@ -50,19 +57,19 @@ def lovasz_softmax(
         valid = valid & point_mask
     validf = valid.astype(probs.dtype)
 
-    def class_loss(c):
-        gt = (targets == c).astype(probs.dtype) * validf
-        errors = jnp.abs(gt - probs[:, c])
-        # ignored points must not influence the sort: push them to the end
-        errors = jnp.where(valid, errors, -1.0)
-        order = jnp.argsort(-errors)
-        grad = _lovasz_grad(gt[order], validf[order])
-        loss_c = jnp.dot(jnp.maximum(errors[order], 0.0) * validf[order], grad)
-        present = jnp.sum(gt) > 0
-        return loss_c, present
-
-    losses, present = jax.vmap(class_loss)(jnp.arange(nr_classes))
-    is_ignored = jnp.arange(nr_classes) == ignore_index
+    classes = jnp.arange(nr_classes)
+    gt = (targets[None, :] == classes[:, None]).astype(probs.dtype) * validf[None, :]
+    errors = jnp.abs(gt - probs.T)  # (C, N)
+    # ignored points must not influence the sort: push them to the end
+    errors = jnp.where(valid[None, :], errors, -1.0)
+    neg_s, gt_s, val_s = jax.lax.sort(
+        (-errors, gt, jnp.broadcast_to(validf[None, :], gt.shape)), num_keys=1
+    )
+    err_s = -neg_s
+    grad = _lovasz_grad(gt_s, val_s)
+    losses = jnp.sum(jnp.maximum(err_s, 0.0) * val_s * grad, axis=-1)  # (C,)
+    present = jnp.sum(gt, axis=-1) > 0
+    is_ignored = classes == ignore_index
     w = present.astype(probs.dtype) * (1.0 - is_ignored.astype(probs.dtype))
     return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
 

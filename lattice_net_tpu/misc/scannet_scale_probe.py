@@ -1,0 +1,198 @@
+"""ScanNet-scale capacity validation on one chip (VERDICT r1 #4).
+
+The reference's extreme configuration is a 5,000,000-entry hash table fed
+<=400k-point indoor clouds at sigma 0.08 (``config/lnn_train_scannet.cfg:50,
+65``).  This probe builds a synthetic indoor-scale cloud at exactly that
+scale and runs ONE jitted build+forward of the reference's ScanNet model
+(pointnet [16,32,64], 3 downsamples, blocks [6,6,8]/8/[2,2,2]) on the TPU,
+reporting per-level occupancy/overflow, latency (chained iterations), HBM
+headroom, and which fast-kernel paths engaged vs fell back.
+
+Capacity is 5,242,880 per level 0 (the first multiple of 2^20 above the
+reference's 5M; every level divisible by 256 so the Pallas tiling rules get
+exercised) — note a 400k-point cloud can create at most 1.6M level-0
+vertices, so the reference's 5M is ~3x headroom by construction; the probe
+keeps it anyway to prove the table/scatter/lookup machinery at that size.
+
+    python -m lattice_net_tpu.misc.scannet_scale_probe [--iters 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def make_indoor_scene(n: int, seed: int = 0):
+    """Synthetic room-scale cloud: floor + 4 walls + ceiling + furniture
+    blobs, ~8 x 6 x 3 m, RGB by surface type — ScanNet-like geometry."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    W, D, H = 8.0, 6.0, 3.0
+    parts = []
+    labels = []
+    colors = []
+
+    def plane(count, extent_a, extent_b, fixed_axis, fixed_val, lab, col):
+        a = rng.uniform(0, extent_a, count)
+        b = rng.uniform(0, extent_b, count)
+        f = np.full(count, fixed_val) + rng.normal(0, 0.005, count)
+        xyz = np.empty((count, 3), np.float32)
+        axes = [i for i in range(3) if i != fixed_axis]
+        xyz[:, axes[0]] = a
+        xyz[:, axes[1]] = b
+        xyz[:, fixed_axis] = f
+        parts.append(xyz)
+        labels.append(np.full(count, lab, np.int32))
+        colors.append(np.tile(np.asarray(col, np.float32), (count, 1)))
+
+    n_floor = n // 4
+    n_wall = n // 8
+    n_ceil = n // 8
+    plane(n_floor, W, D, 2, 0.0, 2, (0.5, 0.4, 0.3))  # floor
+    plane(n_ceil, W, D, 2, H, 0, (0.9, 0.9, 0.9))  # ceiling -> unannotated-ish
+    plane(n_wall, W, H, 1, 0.0, 1, (0.8, 0.8, 0.7))
+    plane(n_wall, W, H, 1, D, 1, (0.8, 0.8, 0.7))
+    plane(n_wall, D, H, 0, 0.0, 1, (0.7, 0.8, 0.8))
+    plane(n_wall, D, H, 0, W, 1, (0.7, 0.8, 0.8))
+
+    used = sum(len(p) for p in parts)
+    n_furn = n - used
+    centers = rng.uniform([0.5, 0.5, 0.0], [W - 0.5, D - 0.5, 1.2], (24, 3))
+    sizes = rng.uniform(0.2, 0.9, (24, 3))
+    per = max(1, n_furn // 24)
+    for i, (c, s) in enumerate(zip(centers, sizes)):
+        cnt = per if i < 23 else n_furn - 23 * per
+        xyz = c + rng.uniform(-0.5, 0.5, (cnt, 3)) * s
+        parts.append(xyz.astype(np.float32))
+        labels.append(np.full(cnt, 3 + i % 17, np.int32))
+        colors.append(
+            np.tile(rng.uniform(0.1, 0.9, 3).astype(np.float32), (cnt, 1))
+        )
+
+    V = np.concatenate(parts)[:n]
+    L = np.concatenate(labels)[:n]
+    C = np.concatenate(colors)[:n]
+    sh = rng.permutation(n)
+    return V[sh], C[sh], L[sh]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n-points", type=int, default=400000)
+    ap.add_argument("--cap", type=int, default=5 * (1 << 20))  # 5,242,880
+    ap.add_argument("--sigma", type=float, default=0.08)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--small-model", action="store_true",
+                    help="use the KITTI smallernet instead of the full ScanNet net")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from lattice_net_tpu.lattice.ops import check_positions
+    from lattice_net_tpu.lattice.structure import build_hierarchy, default_capacity_schedule
+    from lattice_net_tpu.models import LNN, ModelParams
+    from lattice_net_tpu.ops_tpu import patch as lpatch
+
+    if args.small_model:
+        mp = ModelParams(
+            nr_classes=21,
+            pointnet_channels_per_layer=(16, 32),
+            pointnet_start_nr_channels=32,
+            nr_downsamples=2,
+            nr_blocks_down_stage=(1, 1),
+            nr_blocks_bottleneck=1,
+            nr_blocks_up_stage=(1, 1),
+        )
+    else:
+        # reference ScanNet model (config/lnn_train_scannet.cfg model section)
+        mp = ModelParams(
+            nr_classes=21,
+            positions_mode="xyz",
+            values_mode="rgb+height",
+            pointnet_channels_per_layer=(16, 32, 64),
+            pointnet_start_nr_channels=32,
+            nr_downsamples=3,
+            nr_blocks_down_stage=(6, 6, 8),
+            nr_blocks_bottleneck=8,
+            nr_blocks_up_stage=(2, 2, 2),
+            nr_levels_down_with_normal_resnet=3,
+            nr_levels_up_with_normal_resnet=3,
+        )
+
+    n = args.n_points
+    sigma = args.sigma
+    caps = default_capacity_schedule(args.cap, mp.nr_downsamples)
+    print(f"n_points={n} sigma={sigma} capacities={caps}")
+
+    V, C, L = make_indoor_scene(n)
+    check_positions(V, sigma=sigma)
+    positions = jnp.asarray(V)
+    values = jnp.asarray(np.concatenate([C, V[:, 2:3]], axis=1))  # rgb+height
+
+    # which fast paths engage at this scale?
+    probe_vals = jnp.zeros((caps[0], 32), jnp.bfloat16)
+    probe_nbr = jnp.zeros((caps[0], 8), jnp.int32)
+    print(
+        "patch kernel eligible at cap0:",
+        lpatch.patch_gather_supported(probe_vals, probe_nbr),
+        f"(table bytes {caps[0] * 32 * 2 / 1e6:.0f} MB vs VMEM cap "
+        f"{lpatch.VMEM_TABLE_BYTES / 1e6:.0f} MB -> XLA monotone-gather path)",
+    )
+
+    model = LNN(mp)
+    t0 = time.perf_counter()
+    h0 = build_hierarchy(positions, sigma, mp.nr_downsamples, caps)
+    occ = [int(s.nr_verts) for s in h0.structures]
+    ovf = [int(s.nr_overflow) for s in h0.structures]
+    print(f"first build (incl compile): {time.perf_counter() - t0:.1f} s")
+    print(f"occupancy per level: {occ} / {list(caps)}")
+    print(f"overflow per level:  {ovf}")
+    assert sum(ovf) == 0, "capacity schedule must not overflow at ScanNet scale"
+
+    params = model.init(jax.random.PRNGKey(0), h0, positions, values)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model parameters: {n_params:,}")
+
+    @jax.jit
+    def forward_chain(params, positions, values):
+        h = build_hierarchy(positions, sigma, mp.nr_downsamples, caps)
+        logp, _ = model.apply(params, h, positions, values)
+        pred = jnp.argmax(logp, axis=-1)
+        fb = (jnp.sum(pred) % 2).astype(jnp.float32) * 1e-12
+        return pred, positions + fb
+
+    t0 = time.perf_counter()
+    pred, positions = forward_chain(params, positions, values)
+    pred.block_until_ready()
+    print(f"forward compile+first run: {time.perf_counter() - t0:.1f} s")
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        pred, positions = forward_chain(params, positions, values)
+    pred.block_until_ready()
+    ms = (time.perf_counter() - t0) / args.iters * 1000
+    print(f"end-to-end build+forward: {ms:.1f} ms/cloud over {args.iters} chained iters")
+
+    import json
+
+    print(json.dumps({
+        "metric": "scannet_scale_build_forward_latency",
+        "value": round(ms, 1),
+        "unit": "ms",
+        "n_points": n,
+        "capacities": list(caps),
+        "occupancy": occ,
+        "overflow": ovf,
+        "model_params": n_params,
+    }))
+
+
+if __name__ == "__main__":
+    main()
