@@ -25,9 +25,15 @@ RSS'20 paper claims "real-time-capable" inference, sensor rate is 10 Hz
 bilateral-filter kernel (``LatticeGPU.cuh:897``).  ``vs_baseline`` =
 ours_ms / 55.0 (lower is better).
 
-Env toggles: LNT_CANONICAL=0 disables the canonical point reorder inside the
-timed program (the reorder + inverse scatter are INCLUDED in the timing, so
-the comparison with the baseline stays input-order honest).
+Env toggles (both default OFF — every canonical variant measured SLOWER
+in-context on v5e, mean of 5 chained runs; the machinery stays opt-in and
+parity-tested because the trade may flip at other densities):
+  LNT_CANONICAL=1 — canonical point reorder inside the timed inference
+    program (reorder + inverse scatter INCLUDED): 60.6 ms vs 55.2 generic.
+  LNT_CANONICAL_TRAIN=1 — host-side reorder OFF the timed path + corner-
+    dedup fast build in the train step: 266.6 vs 251.4 ms/step — the fast
+    build's EdgeSort-reconstruction scatters cost more than the saved sort
+    volume even with the reorder free.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
 "train_step_ms", "train_steps_per_sec", ...}.
@@ -83,7 +89,7 @@ def main():
     # the measured vertex count matches the reference's KITTI margin (100k
     # capacity for ~10-30k vertices, lnn_train_semantic_kitti.cfg:62-71).
     caps = (1 << 16, 1 << 15, 1 << 13)
-    canonical = os.environ.get("LNT_CANONICAL", "1") != "0"
+    canonical = os.environ.get("LNT_CANONICAL", "0") == "1"
 
     scene = synthetic_kitti_scan(n_points)
     positions = jnp.asarray(scene)
@@ -144,15 +150,29 @@ def main():
     target = jnp.asarray(
         np.random.default_rng(1).integers(1, mp.nr_classes, n_points), jnp.int32
     )
+    # LNT_CANONICAL_TRAIN=1 mirrors the trainer opt-in: host-side canonical
+    # reorder off the timed path + corner-dedup fast build in the step.
+    # Default OFF — measured SLOWER on v5e (266.6 vs 251.4 ms/step, 5x10
+    # chained): the fast build's EdgeSort reconstruction scatters cost more
+    # than the saved sort volume, and its AD doubles the damage.
+    canon_train = os.environ.get("LNT_CANONICAL_TRAIN", "0") == "1"
+    pos_np, val_np, tgt_np = map(np.asarray, (positions, values, target))
+    if canon_train:
+        from lattice_net_tpu.lattice.host_order import canonical_point_order_np
+
+        order = canonical_point_order_np(pos_np, sigma)
+        pos_np, val_np, tgt_np = pos_np[order], val_np[order], tgt_np[order]
     batch = {
-        "positions": positions[None],
-        "values": values[None],
-        "target": target[None],
+        "positions": jnp.asarray(pos_np)[None],
+        "values": jnp.asarray(val_np)[None],
+        "target": jnp.asarray(tgt_np)[None],
         "point_mask": jnp.ones((1, n_points), bool),
     }
     tx = make_optimizer(1e-3, weight_decay=1e-4, schedule="cosine_warm_restarts", t0_steps=1000)
     state = TrainState.create(params, tx)
-    train_step = jax.jit(make_train_step(model, tx, sigma, mp.nr_downsamples, caps))
+    train_step = jax.jit(make_train_step(
+        model, tx, sigma, mp.nr_downsamples, caps, canonical_points=canon_train
+    ))
     rng = jax.random.PRNGKey(2)
 
     # warmup/compile; steps chain through the optimizer state by construction
@@ -186,6 +206,7 @@ def main():
                 "occupancy": occ,
                 "capacities": list(caps),
                 "canonical_order": canonical,
+                "canonical_train": canon_train,
             }
         )
     )

@@ -512,6 +512,82 @@ def gather_neighbor_values(
     return gather_neighbor_values_xla(values, neighbors, include_center_self)
 
 
+def _conv_patch_budget_bytes() -> int:
+    """Max bytes the materialised (Cq, extent, C) conv patch may occupy before
+    the row-chunked path engages (LNT_CONV_CHUNK_BYTES, default 1 GiB)."""
+    return int(os.environ.get("LNT_CONV_CHUNK_BYTES", 1 << 30))
+
+
+def _conv_row_blocks(cq: int, extent: int, c_in: int, itemsize: int) -> int:
+    """Number of equal row blocks keeping each block's patch under budget.
+
+    Returns 1 (unchunked) for every ordinary capacity; ScanNet-scale tables
+    (reference ``config/lnn_train_scannet.cfg:50``: 5M entries) with wide
+    channels would otherwise materialise a 5.2M x 9 x 128 patch (~12 GB bf16)
+    and exhaust HBM.  The block count is rounded up to a divisor of ``cq`` so
+    a plain reshape splits the rows.
+    """
+    total = cq * extent * c_in * itemsize
+    budget = _conv_patch_budget_bytes()
+    if total <= budget:
+        return 1
+    nb = -(-total // budget)
+    while cq % nb:
+        nb += 1
+    return nb
+
+
+def _conv_gather_dnums():
+    return jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+
+
+def _conv_fwd_chunked(values, neighbors, weight, same_level, nb, acc):
+    """Row-chunked conv: lax.map over ``nb`` equal row blocks, each gathering
+    a bounded (B, extent, C) patch and running its own MXU GEMM.  The cummax
+    monotonisation of the index columns is global (2-D int32, cheap); the
+    per-column sorted-flag gathers happen per block, so peak memory is the
+    values table + one block patch instead of the full patch tensor."""
+    cap = values.shape[0]
+    cq, k = neighbors.shape
+    c_in = values.shape[1]
+    extent = k + 1 if same_level else k
+    b = cq // nb
+    valid = neighbors < cap
+    mono = jnp.maximum(jax.lax.cummax(jnp.where(valid, neighbors, -1), axis=0), 0)
+    dnums = _conv_gather_dnums()
+
+    def block(args):
+        if same_level:
+            mo, va, ce = args
+        else:
+            mo, va = args
+        cols = [
+            jax.lax.gather(
+                values,
+                mo[:, i : i + 1],
+                dnums,
+                (1, c_in),
+                indices_are_sorted=True,
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )
+            for i in range(k)
+        ]
+        patch = jnp.where(va[..., None], jnp.stack(cols, axis=1), 0)
+        if same_level:
+            patch = jnp.concatenate([patch, ce[:, None, :]], axis=1)
+        return jnp.dot(
+            patch.reshape(b, extent * c_in), weight, preferred_element_type=acc
+        )
+
+    xs = (mono.reshape(nb, b, k), valid.reshape(nb, b, k))
+    if same_level:
+        xs = xs + (values[:cq].reshape(nb, b, c_in),)
+    out = jax.lax.map(block, xs)
+    return out.reshape(cq, weight.shape[1])
+
+
 def _conv_fwd_impl(
     values: jnp.ndarray,
     neighbors: jnp.ndarray,
@@ -523,13 +599,18 @@ def _conv_fwd_impl(
     if conv_dt == "bf16" or (conv_dt != "f32" and _fast_ops()):
         values = values.astype(jnp.bfloat16)
         weight = weight.astype(jnp.bfloat16)
-    patch = gather_neighbor_values(values, neighbors, include_center_self=same_level)
-    cq, extent, c_in = patch.shape
+    cq, k = neighbors.shape
+    extent = k + 1 if same_level else k
+    c_in = values.shape[1]
     assert weight.shape[0] == extent * c_in, (
         f"filter bank rows {weight.shape[0]} != extent*C_in {extent * c_in}"
     )
     # accumulate in at least f32 (bf16 inputs accumulate f32; f64 stays f64)
-    acc = jnp.result_type(patch.dtype, weight.dtype, jnp.float32)
+    acc = jnp.result_type(values.dtype, weight.dtype, jnp.float32)
+    nb = _conv_row_blocks(cq, extent, c_in, values.dtype.itemsize)
+    if nb > 1:
+        return _conv_fwd_chunked(values, neighbors, weight, same_level, nb, acc)
+    patch = gather_neighbor_values(values, neighbors, include_center_self=same_level)
     return jnp.dot(patch.reshape(cq, extent * c_in), weight, preferred_element_type=acc)
 
 
@@ -584,12 +665,48 @@ def _conv_flip_bwd(same_level, res, g):
     conv_dt = os.environ.get("LNT_CONV_DTYPE", "")
     bf16 = conv_dt == "bf16" or (conv_dt != "f32" and _fast_ops())
     v = values.astype(jnp.bfloat16) if bf16 else values
-    patch = gather_neighbor_values(v, neighbors, include_center_self=same_level)
-    gq = g.astype(patch.dtype)
-    acc = jnp.result_type(patch.dtype, jnp.float32)
-    d_w = jnp.dot(
-        patch.reshape(patch.shape[0], extent * c_in).T, gq, preferred_element_type=acc
-    ).astype(weight.dtype)
+    gq = g.astype(v.dtype)
+    acc = jnp.result_type(v.dtype, jnp.float32)
+    cq = neighbors.shape[0]
+    nb = _conv_row_blocks(cq, extent, c_in, v.dtype.itemsize)
+    if nb > 1:
+        # chunked patch recompute: per-block patch_bᵀ @ g_b, summed — peak
+        # memory one block patch instead of the full (Cq, extent, C) tensor
+        cap = v.shape[0]
+        b = cq // nb
+        val_cols = neighbors < cap
+        mono = jnp.maximum(jax.lax.cummax(jnp.where(val_cols, neighbors, -1), axis=0), 0)
+        dnums = _conv_gather_dnums()
+
+        def block(args):
+            if same_level:
+                mo, va, ce, gb = args
+            else:
+                mo, va, gb = args
+            cols = [
+                jax.lax.gather(
+                    v, mo[:, i : i + 1], dnums, (1, c_in),
+                    indices_are_sorted=True, mode=jax.lax.GatherScatterMode.CLIP,
+                )
+                for i in range(neighbors.shape[1])
+            ]
+            pb = jnp.where(va[..., None], jnp.stack(cols, axis=1), 0)
+            if same_level:
+                pb = jnp.concatenate([pb, ce[:, None, :]], axis=1)
+            return jnp.dot(
+                pb.reshape(b, extent * c_in).T, gb, preferred_element_type=acc
+            )
+
+        xs = (mono.reshape(nb, b, -1), val_cols.reshape(nb, b, -1))
+        if same_level:
+            xs = xs + (v[:cq].reshape(nb, b, c_in),)
+        xs = xs + (gq.reshape(nb, b, c_out),)
+        d_w = jnp.sum(jax.lax.map(block, xs), axis=0).astype(weight.dtype)
+    else:
+        patch = gather_neighbor_values(v, neighbors, include_center_self=same_level)
+        d_w = jnp.dot(
+            patch.reshape(patch.shape[0], extent * c_in).T, gq, preferred_element_type=acc
+        ).astype(weight.dtype)
 
     # d_values: the adjoint is ANOTHER 1-hop conv — gather g over the paired
     # (transposed) table with the flipped filter bank — instead of XLA's

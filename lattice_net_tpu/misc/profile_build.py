@@ -6,9 +6,14 @@ between iterations:
   * canonical_point_order alone (the in-program reorder cost),
   * build_hierarchy generic vs canonical fast path (pre-sorted input),
   * level-0 build_structure generic vs the canonical corner-dedup build,
-  * monotone_lookup at same-level and coarsen shapes, merge-sort vs the
-    Pallas windowed count kernel (LNT_PALLAS_LOOKUP=1) — the round-1 verdict
-    asked for this comparison to be settled.
+  * monotone_lookup at same-level and coarsen shapes (merge-sort path; the
+    Pallas windowed-count alternative was deleted after losing in-context,
+    see ops_tpu/lookup.py).
+
+CAUTION: stage rows carry ~1.5 ms axon dispatch floors and are vulnerable
+to caching/DCE artifacts even with threaded feedback — treat them as shape
+intuition only; in-program deltas from bench.py ablations (LNT_* toggles)
+are the authoritative cost attribution.
 
     python -m lattice_net_tpu.misc.profile_build
 """
@@ -16,7 +21,6 @@ between iterations:
 from __future__ import annotations
 
 import argparse
-import os
 import time
 
 
@@ -26,6 +30,8 @@ def main():
     ap.add_argument("--cap", type=int, default=1 << 16)
     ap.add_argument("--sigma", type=float, default=0.6)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only-lookup", action="store_true",
+                    help="skip the build benches; time just the lookup paths")
     args = ap.parse_args()
 
     import jax
@@ -103,13 +109,14 @@ def main():
         )
         return consume_l0((s, vid, bw, e))
 
-    timeit("canonical_point_order (sort + payload)", f_order, positions)
-    timeit("build_hierarchy GENERIC (unsorted input)", f_generic, positions)
-    timeit("build_hierarchy CANONICAL fast (pre-sorted input)", f_canonical, pos_c)
-    timeit("L0 build_structure generic (with edges)", f_l0_generic, positions)
-    timeit("L0 canonical corner-dedup build (pre-sorted)", f_l0_fast, pos_c)
+    if not args.only_lookup:
+        timeit("canonical_point_order (sort + payload)", f_order, positions)
+        timeit("build_hierarchy GENERIC (unsorted input)", f_generic, positions)
+        timeit("build_hierarchy CANONICAL fast (pre-sorted input)", f_canonical, pos_c)
+        timeit("L0 build_structure generic (with edges)", f_l0_generic, positions)
+        timeit("L0 canonical corner-dedup build (pre-sorted)", f_l0_fast, pos_c)
 
-    # ---- lookup shapes: same-level + coarsen, merge vs Pallas count --------
+    # ---- lookup shapes: same-level + coarsen (merge-sort path) -------------
     h = st.build_hierarchy(positions, sigma, 2, caps)
     s0, s1 = h.structures[0], h.structures[1]
     moves = jnp.asarray(st._axis_moves_np(3))
@@ -130,12 +137,8 @@ def main():
 
         return f
 
-    for env in ("0", "1"):
-        os.environ["LNT_PALLAS_LOOKUP"] = env
-        tag = "pallas-count" if env == "1" else "merge-sort  "
-        timeit(f"same-level lookup cap0 ({tag})", lk_fn(s0, q_same, occ0), positions)
-        timeit(f"coarsen lookup cap1->cap0 ({tag})", lk_fn(s0, q_coarsen, occ1), positions)
-    os.environ.pop("LNT_PALLAS_LOOKUP", None)
+    timeit("same-level lookup cap0 (merge-sort)", lk_fn(s0, q_same, occ0), positions)
+    timeit("coarsen lookup cap1->cap0 (merge-sort)", lk_fn(s0, q_coarsen, occ1), positions)
 
 
 if __name__ == "__main__":

@@ -163,78 +163,6 @@ def _seg_sum_pallas_impl(vals, ids, cap: int, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# segmented broadcast (monotone gather): windows DMA'd from HBM per subtile
-# ---------------------------------------------------------------------------
-
-
-def _seg_broadcast_kernel(ids_ref, table_ref, out_ref):
-    r = pl.program_id(0)
-    cap_r = table_ref.shape[1] - 2 * TILE  # block rows (minus window pad)
-    base = r * cap_r
-    cap = cap_r * pl.num_programs(0)
-
-    for k in range(K):
-        ids = ids_ref[k, :, 0]
-        intersects = (ids[TILE - 1] >= base) & (ids[0] < base + cap_r)
-
-        def compute(k=k, ids=ids):
-            ws = jnp.clip(ids[0], base, base + cap_r - 1)
-            off = (ws - base) // TILE * TILE  # sublane offsets need no alignment
-            lid = ids - (base + off)
-            sel = (ids >= base) & (ids < jnp.minimum(base + cap_r, cap))
-            onehot = (
-                (lid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (TILE, 2 * TILE), 1))
-                & sel[:, None]
-            ).astype(jnp.float32)  # (T_edges, 2T_window)
-            win = table_ref[0, pl.ds(off, 2 * TILE), :]  # (2T, C)
-            return jax.lax.dot_general(
-                onehot,
-                win,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        out_ref[0, k] = jax.lax.cond(
-            intersects, compute, lambda: jnp.zeros((TILE, out_ref.shape[3]), jnp.float32)
-        )
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _seg_broadcast_pallas_impl(table, ids, interpret: bool = False):
-    cap, c = table.shape
-    (m,) = ids.shape
-    nt = -(-m // STEP)
-    pad = nt * STEP - m
-    if pad:
-        ids = jnp.concatenate([ids, jnp.broadcast_to(ids[-1:], (pad,))])
-    r = _row_blocks(cap, c)
-    assert r > 0
-    cap_r = cap // r
-    # per range-block: its rows plus 2T window-spill pad
-    blocks = table.astype(jnp.float32).reshape(r, cap_r, c)
-    blocks = jnp.concatenate([blocks, jnp.zeros((r, 2 * TILE, c), jnp.float32)], axis=1)
-
-    out = pl.pallas_call(
-        _seg_broadcast_kernel,
-        grid=(r, nt),
-        in_specs=[
-            pl.BlockSpec((K, TILE, 1), lambda r_i, t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, cap_r + 2 * TILE, c), lambda r_i, t: (r_i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, K, TILE, c), lambda r_i, t: (r_i, t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((r, nt * K, TILE, c), jnp.float32),
-        interpret=interpret,
-    )(ids.reshape(nt * K, TILE, 1), blocks)
-    # edges outside a range-block produced zeros there; sum the R passes
-    return out.sum(axis=0).reshape(nt * STEP, c)[:m]
-
-
-# ---------------------------------------------------------------------------
 # public API with custom VJPs (sum and broadcast are each other's adjoints)
 # ---------------------------------------------------------------------------
 
@@ -276,16 +204,12 @@ seg_sum_sorted_fast.defvjp(_seg_sum_fwd, _seg_sum_bwd)
 def seg_broadcast_sorted_fast(table, ids):
     """out[i] = table[ids[i]] for nondecreasing dense ids; id >= cap reads 0.
 
-    The Pallas window kernel measures slightly SLOWER than XLA's row gather
-    here (5.7 vs 3.5 ms at 524k x 32 — the gather is row-latency-bound and
-    the one-hot matmuls don't amortise on the read side), so it is opt-in
-    via LNT_PALLAS_BROADCAST=1; the custom VJP still routes the adjoint into
-    the fast Pallas segmented sum.
+    A Pallas window kernel for this direction (one-hot matmul per subtile,
+    mirroring the sum kernel) measured SLOWER than XLA's row gather (5.7 vs
+    3.5 ms at 524k x 32 on v5e — the gather is row-latency-bound and the
+    one-hot matmuls don't amortise on the read side), so it was removed; the
+    custom VJP still routes the adjoint into the fast Pallas segmented sum.
     """
-    import os
-
-    if os.environ.get("LNT_PALLAS_BROADCAST") == "1" and _use_pallas():
-        return _seg_broadcast_pallas_impl(table, ids)
     return seg_broadcast_sorted_ref(table, ids)
 
 

@@ -51,7 +51,13 @@ class TrainState:
 _batch_rng = np.random.default_rng(0)
 
 
-def make_batch(clouds, model_params, n_points: int, rng: np.random.Generator | None = None):
+def make_batch(
+    clouds,
+    model_params,
+    n_points: int,
+    rng: np.random.Generator | None = None,
+    canonical=None,
+):
     """Pad a list of (positions, values, target) triples to a static batch.
 
     Returns dict of stacked arrays: positions (B,N,d), values (B,N,C),
@@ -62,6 +68,12 @@ def make_batch(clouds, model_params, n_points: int, rng: np.random.Generator | N
     generator advances across calls so training sees a different subset each
     epoch (pass ``rng`` for reproducible selection).  Evaluation must NOT rely
     on this path — use ``train.ln_eval``'s chunked full-cloud prediction.
+
+    ``canonical`` (a sigma, or None) reorders each cloud host-side by
+    (level-0 simplex, rank) so the device build may take the corner-dedup
+    fast path (``build_hierarchy(..., canonical_points=True)``); the padded
+    suffix stays last, preserving the prefix-mask precondition.  The lattice
+    is permutation invariant, so this changes nothing numerically.
     """
     rng = _batch_rng if rng is None else rng
     ps, vs, ts, ms = [], [], [], []
@@ -71,6 +83,11 @@ def make_batch(clouds, model_params, n_points: int, rng: np.random.Generator | N
             sel = rng.choice(n, n_points, replace=False)
             positions, values, target = positions[sel], values[sel], target[sel]
             n = n_points
+        if canonical is not None:
+            from lattice_net_tpu.lattice.host_order import canonical_point_order_np
+
+            order = canonical_point_order_np(positions, canonical)
+            positions, values, target = positions[order], values[order], target[order]
         pad = n_points - n
         ps.append(np.pad(positions, ((0, pad), (0, 0))))
         vs.append(np.pad(values, ((0, pad), (0, 0))))
@@ -91,15 +108,25 @@ def make_loss_fn(
     capacities: Sequence[int],
     ignore_index: int = -1,
     class_weights=None,
+    canonical_points: bool = False,
 ) -> Callable:
-    """Batched (vmapped) loss over a padded batch of clouds."""
+    """Batched (vmapped) loss over a padded batch of clouds.
+
+    ``canonical_points=True`` takes the corner-dedup fast level-0 build; the
+    batch must then come from ``make_batch(..., canonical=sigma)`` (host-side
+    reorder).  Any order stays correct (the build falls back per lax.cond),
+    but an uncanonical batch would forfeit the speed-up.
+    """
 
     capacities = tuple(int(c) for c in capacities)
 
     def per_cloud(params, positions, values, target, point_mask, rng, train):
         from lattice_net_tpu.train.callbacks import iou_counts_device
 
-        h = build_hierarchy(positions, sigma, nr_levels, capacities, point_mask=point_mask)
+        h = build_hierarchy(
+            positions, sigma, nr_levels, capacities, point_mask=point_mask,
+            canonical_points=canonical_points,
+        )
         kwargs = {}
         if train:
             kwargs = {"deterministic": False, "rngs": {"dropout": rng}}
@@ -134,9 +161,15 @@ def make_loss_fn(
     return loss_fn
 
 
-def make_train_step(model, tx, sigma, nr_levels, capacities, ignore_index=-1, class_weights=None):
+def make_train_step(
+    model, tx, sigma, nr_levels, capacities, ignore_index=-1, class_weights=None,
+    canonical_points=False,
+):
     """Single-device (or inner, per-shard) jittable train step."""
-    loss_fn = make_loss_fn(model, sigma, nr_levels, capacities, ignore_index, class_weights)
+    loss_fn = make_loss_fn(
+        model, sigma, nr_levels, capacities, ignore_index, class_weights,
+        canonical_points=canonical_points,
+    )
 
     # reduce_on_plateau (and other extra-args transforms) consume the loss
     # at update time; plain transforms must not receive the kwarg.
@@ -167,6 +200,7 @@ def make_dp_train_step(
     ignore_index=-1,
     class_weights=None,
     axis: str = "dp",
+    canonical_points=False,
 ):
     """Data-parallel train step: batch sharded over ``axis``, grads psum over ICI.
 
@@ -175,7 +209,10 @@ def make_dp_train_step(
     the optimizer update is applied redundantly-but-identically per device —
     the standard JAX DP recipe (scaling-book style), with zero host traffic.
     """
-    inner = make_train_step(model, tx, sigma, nr_levels, capacities, ignore_index, class_weights)
+    inner = make_train_step(
+        model, tx, sigma, nr_levels, capacities, ignore_index, class_weights,
+        canonical_points=canonical_points,
+    )
 
     @functools.partial(
         shard_map,

@@ -48,6 +48,7 @@ def run(
     checkpoint: str = "",
     write_predictions: bool | None = None,
     overrides=(),
+    n_points: int = 0,
 ):
     import jax
 
@@ -79,7 +80,7 @@ def run(
     caps = default_capacity_schedule(lp.hash_table_capacity, mp.nr_downsamples)
 
     first = loader.get_cloud(0)
-    n_points = 1 << int(np.ceil(np.log2(max(len(first.V), 512))))
+    n_points = n_points or 1 << int(np.ceil(np.log2(max(len(first.V), 512))))
     model = LNN(mp)
 
     b0 = make_batch([prepare_cloud(first, mp)], mp, n_points)
@@ -152,12 +153,20 @@ def main():
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--write-predictions", action="store_true", default=None)
     ap.add_argument(
+        "--n-points",
+        type=int,
+        default=0,
+        help="static per-chunk point budget (0 = fit the first cloud whole); "
+        "smaller values force chunked prediction — used to quantify the "
+        "chunked-vs-full receptive-field gap",
+    )
+    ap.add_argument(
         "overrides",
         nargs="*",
         help="config overrides of the form section.key=value (e.g. eval.checkpoint_path=...)",
     )
     args = ap.parse_args()
-    run(args.config, args.checkpoint, args.write_predictions, args.overrides)
+    run(args.config, args.checkpoint, args.write_predictions, args.overrides, args.n_points)
 
 
 if __name__ == "__main__":

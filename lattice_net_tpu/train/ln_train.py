@@ -11,6 +11,7 @@ and optional data parallelism over every local device (``--dp``).
 from __future__ import annotations
 
 import argparse
+import os
 import queue
 import sys
 import threading
@@ -276,8 +277,18 @@ def run(
         plateau_accumulation=steps_per_epoch,
     )
 
+    # LNT_CANONICAL_TRAIN=1: host-side canonical reorder in the prefetch
+    # thread (overlapped with the device step) + corner-dedup fast build on
+    # device.  Numerically a no-op (permutation-invariant lattice, labels
+    # permuted alongside).  Default OFF: measured chained on v5e at KITTI
+    # scale the fast build makes the train step SLOWER (266.6 vs 251.4 ms,
+    # mean of 5x10) — its EdgeSort reconstruction scatters cost more than
+    # the saved sort volume.  Kept as an opt-in: the trade may flip at other
+    # densities/scales.
+    canon = os.environ.get("LNT_CANONICAL_TRAIN", "0") == "1"
+
     def batch_of(clouds):
-        b = make_batch(clouds, mp, n_points)
+        b = make_batch(clouds, mp, n_points, canonical=sigma if canon else None)
         return shard_batch(b, mesh) if mesh is not None else b
 
     b0 = batch_of([prepare_cloud(loader_train.get_cloud(0), mp)] * batch_size)
@@ -298,10 +309,18 @@ def run(
 
     if mesh is not None:
         state = replicate_state(state, mesh)
-        train_step = make_dp_train_step(model, tx, mesh, sigma, mp.nr_downsamples, caps, ignore_index)
+        train_step = make_dp_train_step(
+            model, tx, mesh, sigma, mp.nr_downsamples, caps, ignore_index,
+            canonical_points=canon,
+        )
     else:
-        train_step = jax.jit(make_train_step(model, tx, sigma, mp.nr_downsamples, caps, ignore_index))
-    loss_fn = make_loss_fn(model, sigma, mp.nr_downsamples, caps, ignore_index)
+        train_step = jax.jit(make_train_step(
+            model, tx, sigma, mp.nr_downsamples, caps, ignore_index,
+            canonical_points=canon,
+        ))
+    loss_fn = make_loss_fn(
+        model, sigma, mp.nr_downsamples, caps, ignore_index, canonical_points=canon
+    )
     eval_step = jax.jit(lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0), False))
 
     ckpt_dir = Path(tp.checkpoint_path or "checkpoints")

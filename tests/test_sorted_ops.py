@@ -229,6 +229,50 @@ def test_coarse_from_vertices_covers_reference_patches():
     assert frac < 0.15, f"proxy build missing {frac:.1%} of reachable coarse vertices"
 
 
+def test_conv_chunked_matches_unchunked(hier, monkeypatch):
+    # the row-chunked conv (ScanNet-scale HBM guard) must agree exactly with
+    # the one-GEMM path, forward and both gradients, same- and cross-level
+    rng = np.random.default_rng(13)
+    pos, mask, h = hier
+    s0, s1 = h.structures[0], h.structures[1]
+    cap0, cap1 = s0.capacity, s1.capacity
+    c_in, c_out = 6, 5
+
+    nbr = h.neighbors_same[0]
+    ctab, ftab = h.neighbors_coarsen[0], h.neighbors_finefy[0]
+    extent = nbr.shape[1] + 1
+    v = jnp.asarray(rng.normal(size=(cap0, c_in)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(extent * c_in, c_out)).astype(np.float32) * 0.1)
+    wx = jnp.asarray(rng.normal(size=(ctab.shape[1] * c_in, c_out)).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.normal(size=(cap0, c_out)).astype(np.float32))
+    cot_c = jnp.asarray(rng.normal(size=(cap1, c_out)).astype(np.float32))
+
+    def loss_same(v, w):
+        return jnp.sum(ops.conv_im2row(v, nbr, w, same_level=True) * cot)
+
+    def loss_cross(v, w):
+        return jnp.sum(ops.conv_im2row(v, ctab, w, False, neighbors_t=ftab) * cot_c)
+
+    outs_ref = [
+        ops.conv_im2row(v, nbr, w, same_level=True),
+        ops.conv_im2row(v, ctab, wx, False, neighbors_t=ftab),
+        *jax.grad(loss_same, argnums=(0, 1))(v, w),
+        *jax.grad(loss_cross, argnums=(0, 1))(v, wx),
+    ]
+
+    # budget of a quarter patch -> nb=4 blocks on both levels
+    monkeypatch.setenv("LNT_CONV_CHUNK_BYTES", str(cap1 * extent * c_in * 4 // 4))
+    assert ops._conv_row_blocks(cap0, extent, c_in, 4) > 1
+    outs_chunk = [
+        ops.conv_im2row(v, nbr, w, same_level=True),
+        ops.conv_im2row(v, ctab, wx, False, neighbors_t=ftab),
+        *jax.grad(loss_same, argnums=(0, 1))(v, w),
+        *jax.grad(loss_cross, argnums=(0, 1))(v, wx),
+    ]
+    for a, b in zip(outs_ref, outs_chunk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
 def test_conv_flip_vjp_matches_ad(hier):
     # the flip-neighbours adjoint conv must produce exactly the gradients of
     # plain AD (whose adjoint is a scatter-add) for both same-level and

@@ -426,3 +426,104 @@ def test_canonical_fast_build_overflow_falls_back(rng):
     np.testing.assert_array_equal(
         np.asarray(h_ref.splat_idx), np.asarray(h_fast.splat_idx)
     )
+
+
+def test_host_canonical_order_matches_device_grouping(rng):
+    # the numpy host-order twin (data-prep path) must produce the same
+    # simplex grouping quality as the device order: reordered points take
+    # the canonical fast build and yield tables identical to the generic
+    # build; runs of equal simplex are contiguous for ~all points.
+    from lattice_net_tpu.lattice.host_order import canonical_point_order_np
+
+    pts_np = _cloud(rng, n=3000, scale=3.0)
+    order = canonical_point_order_np(pts_np, 0.4)
+    assert sorted(order.tolist()) == list(range(3000))
+    pts_c = jnp.asarray(pts_np[order])
+
+    h_fast = st.build_hierarchy(pts_c, 0.4, 2, (4096, 2048, 1024), canonical_points=True)
+    h_ref = st.build_hierarchy(pts_c, 0.4, 2, (4096, 2048, 1024), canonical_points=False)
+    for lvl in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(h_fast.structures[lvl].keys),
+            np.asarray(h_ref.structures[lvl].keys),
+            err_msg=f"lvl {lvl}",
+        )
+    np.testing.assert_array_equal(np.asarray(h_fast.splat_idx), np.asarray(h_ref.splat_idx))
+
+    # grouping quality: the device order and the host order agree on the
+    # simplex partition for (nearly) every point; float32 host rounding may
+    # fragment a handful of borderline points, never more
+    def adjacent_runs(col):
+        return int(np.count_nonzero(col[1:] != col[:-1])) + 1
+
+    perm_dev = np.asarray(st.canonical_point_order(jnp.asarray(pts_np), 0.4))
+    h_dev = st.build_hierarchy(jnp.asarray(pts_np[perm_dev]), 0.4, 2, (4096, 2048, 1024))
+    runs_host = adjacent_runs(np.asarray(h_ref.splat_idx)[:, 0])
+    runs_dev = adjacent_runs(np.asarray(h_dev.splat_idx)[:, 0])
+    assert runs_host <= runs_dev * 1.02 + 5, (runs_host, runs_dev)
+
+
+def test_make_batch_canonical_matches_plain_loss(rng):
+    # host-side canonical reorder + canonical_points build must leave the
+    # train loss and grads exactly invariant (lattice permutation invariance)
+    import optax
+
+    from lattice_net_tpu.models import LNN, ModelParams
+    from lattice_net_tpu.parallel import TrainState, make_batch, make_train_step
+
+    n, n_points = 1500, 2048
+    pts = _cloud(rng, n=n, scale=2.0)
+    vals = rng.normal(size=(n, 1)).astype(np.float32)
+    tgt = rng.integers(0, 4, n).astype(np.int32)
+    mp = ModelParams(
+        nr_classes=4,
+        pointnet_channels_per_layer=(8, 16),
+        pointnet_start_nr_channels=8,
+        nr_downsamples=1,
+        nr_blocks_down_stage=(1, 1),
+        nr_blocks_bottleneck=1,
+        nr_blocks_up_stage=(1, 1),
+    )
+    sigma, caps = 0.4, (4096, 2048)
+    b_plain = make_batch([(pts, vals, tgt)], mp, n_points)
+    b_canon = make_batch([(pts, vals, tgt)], mp, n_points, canonical=sigma)
+
+    model = LNN(mp)
+    h0 = st.build_hierarchy(
+        b_plain["positions"][0], sigma, mp.nr_downsamples, caps,
+        point_mask=b_plain["point_mask"][0],
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), h0, b_plain["positions"][0], b_plain["values"][0]
+    )
+    tx = optax.adamw(1e-3)
+    rng_j = jax.random.PRNGKey(3)
+
+    from lattice_net_tpu.parallel import make_loss_fn
+
+    loss_plain = make_loss_fn(model, sigma, mp.nr_downsamples, caps)
+    loss_canon = make_loss_fn(model, sigma, mp.nr_downsamples, caps, canonical_points=True)
+    (l1, _), g1 = jax.jit(jax.value_and_grad(loss_plain, has_aux=True))(
+        params, b_plain, rng_j
+    )
+    (l2, _), g2 = jax.jit(jax.value_and_grad(loss_canon, has_aux=True))(
+        params, b_canon, rng_j
+    )
+    # loss equality catches ANY p/v/t misalignment in the reorder (a shifted
+    # pairing changes the loss value); exact grad equality is NOT a property
+    # the model admits — PointNet's max-pool winner can flip on f32
+    # reassociation ties under a permutation, discretely rerouting a few
+    # gradient paths — so grads are compared in aggregate only.
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    v1 = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g1)])
+    v2 = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g2)])
+    rel = np.linalg.norm(v1 - v2) / max(np.linalg.norm(v2), 1e-12)
+    assert rel < 5e-2, rel
+
+    # the jitted train step itself must run and stay finite on the canonical
+    # batch (the optimizer path is covered by equality of the grads above)
+    step_canon = jax.jit(make_train_step(
+        model, tx, sigma, mp.nr_downsamples, caps, canonical_points=True
+    ))
+    s2, m2 = step_canon(TrainState.create(params, tx), b_canon, rng_j)
+    assert np.isfinite(float(m2["loss"]))
