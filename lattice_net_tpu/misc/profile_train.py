@@ -74,6 +74,13 @@ def main():
         logp, _ = model.apply(params, h, positions, values)
         return segmentation_loss(logp, target, 0, None, None)
 
+    def loss_nll_only(params, positions):
+        from lattice_net_tpu.losses import nll_loss
+
+        h = build_hierarchy(positions, sigma, mp.nr_downsamples, caps)
+        logp, _ = model.apply(params, h, positions, values)
+        return nll_loss(logp, target, 0, None, None)
+
     def loss_prebuilt(params, h, positions):
         logp, _ = model.apply(params, h, positions, values)
         return segmentation_loss(logp, target, 0, None, None)
@@ -97,9 +104,16 @@ def main():
     f_fwd = jax.jit(lambda p, pos: loss_of(p, pos))
     a = timeit("A forward loss (build + fwd + loss)", f_fwd, params, positions)
 
+    # A2/B2: same without the Lovász term — attributes the batched-sort loss
+    f_fwd_nll = jax.jit(lambda p, pos: loss_nll_only(p, pos))
+    a2 = timeit("A2 forward loss, NLL only (no Lovász)", f_fwd_nll, params, positions)
+
     # B: full grad
     f_grad = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos)[0])
     b = timeit("B value_and_grad (build inside)", f_grad, params, positions)
+
+    f_grad_nll = jax.jit(lambda p, pos: jax.value_and_grad(loss_nll_only)(p, pos)[0])
+    b2 = timeit("B2 value_and_grad, NLL only", f_grad_nll, params, positions)
 
     # C: grad with prebuilt hierarchy (build outside AD, same program builds
     # the hierarchy first, then differentiates only the network)
@@ -124,6 +138,8 @@ def main():
 
     print(f"\nbackward total (B - A): {b - a:8.3f} ms")
     print(f"AD-of-build overhead (B - C): {b - c:8.3f} ms")
+    print(f"Lovász forward (A - A2): {a - a2:8.3f} ms")
+    print(f"Lovász fwd+bwd (B - B2): {b - b2:8.3f} ms")
 
 
 if __name__ == "__main__":

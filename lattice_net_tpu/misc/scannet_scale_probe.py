@@ -8,11 +8,13 @@ scale and runs ONE jitted build+forward of the reference's ScanNet model
 reporting per-level occupancy/overflow, latency (chained iterations), HBM
 headroom, and which fast-kernel paths engaged vs fell back.
 
-Capacity is 5,242,880 per level 0 (the first multiple of 2^20 above the
-reference's 5M; every level divisible by 256 so the Pallas tiling rules get
-exercised) — note a 400k-point cloud can create at most 1.6M level-0
-vertices, so the reference's 5M is ~3x headroom by construction; the probe
-keeps it anyway to prove the table/scatter/lookup machinery at that size.
+Two phases (see the capacity comment in ``main``): the table/lookup/map
+machinery is proven at the reference's literal 5M (5,242,880, 256-divisible)
+with a build-only pass, and the FULL ScanNet model runs at 2^21 — the
+provable vertex upper bound for 400k-point clouds (400k x (d+1) = 1.6M) —
+because per-vertex activations scale with capacity under static shapes and
+the reference's 5M is open-addressing headroom its dense sorted table does
+not need.
 
     python -m lattice_net_tpu.misc.scannet_scale_probe [--iters 5]
 """
@@ -128,13 +130,38 @@ def main():
 
     n = args.n_points
     sigma = args.sigma
-    caps = default_capacity_schedule(args.cap, mp.nr_downsamples)
-    print(f"n_points={n} sigma={sigma} capacities={caps}")
+    # Two capacities, deliberately:
+    #   * TABLE-scale probe at the reference's literal 5M: the reference needs
+    #     5,000,000 slots because its open-addressing hash table degrades past
+    #     ~25-32% load (1.6M max vertices / 5M = 32%); the sorted dense table
+    #     here has NO load-factor cost, so 5M is pure headroom — but the
+    #     build/lookup/map machinery is proven at that size (tables + maps
+    #     only; per-vertex ACTIVATIONS at 5.2M rows would be artificial
+    #     HBM waste no workload can ever touch).
+    #   * FULL-MODEL probe at 2^21 = 2,097,152: a 400k-point cloud splats to
+    #     at most 400k * (d+1) = 1.6M distinct vertices, so 2^21 capacity is
+    #     a PROVABLE upper bound for the reference's ScanNet loader cap
+    #     (``lnn_train_scannet.cfg:65``) with 31% headroom on top.
+    caps_table = default_capacity_schedule(args.cap, mp.nr_downsamples)
+    caps = default_capacity_schedule(min(args.cap, 1 << 21), mp.nr_downsamples)
+    print(f"n_points={n} sigma={sigma} table capacities={caps_table} model capacities={caps}")
 
     V, C, L = make_indoor_scene(n)
     check_positions(V, sigma=sigma)
     positions = jnp.asarray(V)
     values = jnp.asarray(np.concatenate([C, V[:, 2:3]], axis=1))  # rgb+height
+
+    if caps_table != caps:
+        t0 = time.perf_counter()
+        h_big = build_hierarchy(positions, sigma, mp.nr_downsamples, caps_table)
+        occ_b = [int(s.nr_verts) for s in h_big.structures]
+        ovf_b = [int(s.nr_overflow) for s in h_big.structures]
+        nbr_rows = sum(int(t.shape[0]) for t in h_big.neighbors_same)
+        print(f"5M-table build (incl compile): {time.perf_counter() - t0:.1f} s")
+        print(f"  occupancy per level: {occ_b} / {list(caps_table)}")
+        print(f"  overflow per level:  {ovf_b}  same-level nbr rows: {nbr_rows}")
+        assert sum(ovf_b) == 0
+        del h_big
 
     # which fast paths engage at this scale?
     probe_vals = jnp.zeros((caps[0], 32), jnp.bfloat16)
@@ -156,7 +183,15 @@ def main():
     print(f"overflow per level:  {ovf}")
     assert sum(ovf) == 0, "capacity schedule must not overflow at ScanNet scale"
 
-    params = model.init(jax.random.PRNGKey(0), h0, positions, values)
+    # params depend only on channel widths, not capacities: init on a tiny
+    # proxy hierarchy (a full-scale init materialises the whole forward and
+    # OOMs HBM before the first real run)
+    tiny_caps = tuple(max(256, c >> 9) for c in caps)
+    tiny_n = 4096
+    h_tiny = build_hierarchy(positions[:tiny_n], sigma, mp.nr_downsamples, tiny_caps)
+    params = model.init(
+        jax.random.PRNGKey(0), h_tiny, positions[:tiny_n], values[:tiny_n]
+    )
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model parameters: {n_params:,}")
 

@@ -267,11 +267,19 @@ class PlyDumpCallback(Callback):
     kwargs ``positions``/``pred``/``target`` (hosts arrays); samples without
     them are skipped."""
 
-    def __init__(self, out_dir, nr_classes: int, ignore_index: int = -1, every_n_epochs: int = 1):
+    def __init__(
+        self,
+        out_dir,
+        nr_classes: int,
+        ignore_index: int = -1,
+        every_n_epochs: int = 1,
+        html: bool = False,
+    ):
         self.out_dir = Path(out_dir)
         self.nr_classes = nr_classes
         self.ignore_index = ignore_index
         self.every = max(1, every_n_epochs)
+        self.html = html
         self._last = None
 
     def after_forward_pass(self, phase=None, positions=None, pred=None, target=None, **kw):
@@ -288,6 +296,14 @@ class PlyDumpCallback(Callback):
         viz.prediction_cloud(d / "prediction.ply", positions[:, :3], pred, self.nr_classes)
         if target is not None:
             viz.diff_cloud(d / "diff.ply", positions[:, :3], pred, np.asarray(target), self.ignore_index)
+        if self.html:
+            from lattice_net_tpu.misc.viz_html import write_html_viewer
+
+            colors = viz.class_color_map(self.nr_classes)[np.asarray(pred) % self.nr_classes]
+            write_html_viewer(
+                d / "prediction.html", positions[:, :3], colors,
+                title=f"epoch {phase.epoch_nr} prediction",
+            )
         self._last = None
 
 

@@ -199,3 +199,30 @@ def test_batched_clouds_chunks_oversized_in_eval():
     # train path unchanged: one full cloud per slot (subsampled downstream)
     batches = list(batched_clouds([cloud], mp, 1, n_points, False))
     assert len(batches) == 1 and batches[0][0][0][0].shape[0] == n
+
+
+def test_html_viewer_roundtrip(tmp_path):
+    import base64
+    import re
+
+    import numpy as np
+
+    from lattice_net_tpu.misc.viz_html import write_html_viewer
+
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(500, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, (500, 3)).astype(np.uint8)
+    out = write_html_viewer(tmp_path / "cloud.html", xyz, rgb, title="t")
+    html = out.read_text()
+    # the embedded buffers must decode back to the exact input cloud
+    xyz_b64 = re.search(r'XYZ_B64 = "([^"]+)"', html).group(1)
+    rgb_b64 = re.search(r'RGB_B64 = "([^"]+)"', html).group(1)
+    np.testing.assert_array_equal(
+        np.frombuffer(base64.b64decode(xyz_b64), np.float32).reshape(-1, 3), xyz
+    )
+    np.testing.assert_array_equal(
+        np.frombuffer(base64.b64decode(rgb_b64), np.uint8).reshape(-1, 3), rgb
+    )
+    # subsampling path keeps shape contracts
+    out2 = write_html_viewer(tmp_path / "c2.html", xyz, rgb, max_points=100)
+    assert "100 pts" in out2.read_text()
