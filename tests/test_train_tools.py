@@ -226,3 +226,23 @@ def test_html_viewer_roundtrip(tmp_path):
     # subsampling path keeps shape contracts
     out2 = write_html_viewer(tmp_path / "c2.html", xyz, rgb, max_points=100)
     assert "100 pts" in out2.read_text()
+
+
+def test_teaser_tool_emits_figure_assets(tmp_path):
+    """misc/lnn_make_teaser.py (headless rebuild of lnn_make_teaser_img.py)
+    writes PLY + HTML GT/prediction/diff assets for each requested cloud."""
+    import sys
+    from unittest import mock
+
+    from lattice_net_tpu.misc.lnn_make_teaser import main
+
+    argv = [
+        "t", "config/lnn_train_synthkitti.cfg", "--clouds", "0", "--out", str(tmp_path),
+        "loader_synth_kitti.n_points=2048", "loader_synth_kitti.nr_samples=1",
+        "lattice_gpu.hash_table_capacity=4096",
+    ]
+    with mock.patch.object(sys, "argv", argv):
+        main()
+    (d,) = list(tmp_path.iterdir())
+    names = {p.name for p in d.iterdir()}
+    assert {"prediction.ply", "gt.ply", "diff.ply", "prediction.html", "gt.html"} <= names
