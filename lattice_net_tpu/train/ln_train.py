@@ -84,20 +84,33 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
     raise ValueError(f"unknown dataset {dataset_name}")
 
 
-def sanity_check(nr_verts: int, nr_points: int, capacity: int) -> None:
+def sanity_check(nr_verts: int, nr_points: int, capacity: int, seen: set | None = None) -> None:
     """Heuristics from the reference (``ln_train.py:57-81``), adapted: the
     reference warns above 25% load because its open-addressing hash table
     degrades with probe-chain length; the sort-based table here has no
-    collision cost, so the only hard failure is overflow — warn near full."""
+    collision cost, so the only hard failure is overflow — warn near full.
+
+    Runs on EVERY training batch (the vertex stats are already in the step
+    metrics, so this costs no extra device sync); pass ``seen`` to emit each
+    warning kind once per epoch instead of per batch."""
+    warnings = []
     if nr_verts < 100:
-        print(f"WARNING: only {nr_verts} vertices — sigma is probably too big")
+        warnings.append(("few", f"only {nr_verts} vertices — sigma is probably too big"))
     if nr_verts > nr_points:
-        print(f"WARNING: {nr_verts} vertices > {nr_points} points — sigma too small")
+        warnings.append(("many", f"{nr_verts} vertices > {nr_points} points — sigma too small"))
     if nr_verts > 0.9 * capacity:
-        print(
-            f"WARNING: lattice at {nr_verts}/{capacity} (> 90% capacity): "
-            "overflow imminent — increase hash_table_capacity"
+        warnings.append(
+            (
+                "full",
+                f"lattice at {nr_verts}/{capacity} (> 90% capacity): "
+                "overflow imminent — increase hash_table_capacity",
+            )
         )
+    for key, msg in warnings:
+        if seen is None or key not in seen:
+            print(f"WARNING: {msg}")
+            if seen is not None:
+                seen.add(key)
 
 
 def batched_clouds(
@@ -348,6 +361,7 @@ def run(
                 continue
             cb.epoch_started(phase=phase)
             cb.phase_started(phase=phase)
+            warned: set = set()
             gen = batched_clouds(
                 phase.loader, mp, batch_size, n_points, drop_last=False,
                 sigma=sigma, chunk_oversized=not phase.grad,
@@ -357,6 +371,14 @@ def run(
                 if phase.grad:
                     rng, step_rng = jax.random.split(rng)
                     state, metrics = train_step(state, batch, step_rng)
+                    # per-sample density heuristics (reference ln_train.py:57-81);
+                    # nr_verts_mean is already fetched with the loss below
+                    sanity_check(
+                        int(metrics["nr_verts_mean"]),
+                        int(np.asarray(batch["point_mask"]).sum() / max(1, real)),
+                        caps[0],
+                        seen=warned,
+                    )
                 else:
                     # replicated params feed the plain jitted eval directly
                     _, metrics = eval_step(state.params, batch)
