@@ -59,18 +59,23 @@ def elev0(positions: jnp.ndarray, sigma) -> jnp.ndarray:
     return (positions / sigma) @ e0
 
 
-def shard_points_host(positions, values, sigma, n_shards: int):
+def shard_points_host(positions, values, sigma, n_shards: int, per: int | None = None):
     """Host-side stripe partition: sort by elev0, split into equal chunks.
 
     Returns (sharded arrays stacked on a leading n_shards axis, point_mask,
     bounds).  Equal-count chunks balance work regardless of point density.
+    ``per`` overrides the per-shard point count (>= ceil(n / n_shards)) so a
+    batch of different-sized clouds can share one static shape.
     """
     positions = np.asarray(positions)
     values = np.asarray(values)
     s = np.asarray(elev0(jnp.asarray(positions), sigma))
     order = np.argsort(s, kind="stable")
     n = len(positions)
-    per = -(-n // n_shards)
+    per_min = -(-n // n_shards)
+    per = per_min if per is None else int(per)
+    if per < per_min:
+        raise ValueError(f"per={per} cannot hold {n} points over {n_shards} shards")
     pad = per * n_shards - n
     order_p = np.concatenate([order, np.full(pad, -1)])
     mask = order_p >= 0
@@ -341,6 +346,47 @@ def make_sharded_lnn_forward(
     return jax.jit(run)
 
 
+def _sharded_loss_terms(
+    model, params, pos, val, tgt, mask, bounds, sigma, nr_levels, caps_local,
+    halo_budget, axis, n_shards, ignore_index,
+):
+    """One stripe-shard's (loss_sum, valid_count) for the global masked loss.
+
+    Runs inside ``shard_map`` on a single shard's block: halo exchange over
+    ``axis``, local hierarchy build, U-Net forward with psum-global GroupNorm
+    moments over OWNED vertices, loss over own valid points.  The per-shard
+    loss is weighted by the shard's valid count so a psum over the mesh gives
+    exactly the global per-point mean for the NLL half; the Lovász half
+    becomes a per-SHARD Lovász average — the same decomposition the DP
+    trainer applies per cloud (make_loss_fn vmaps Lovász per cloud and means
+    over the batch)."""
+    from lattice_net_tpu.lattice.structure import build_hierarchy
+    from lattice_net_tpu.losses import segmentation_loss
+    from lattice_net_tpu.nn import modules as lnm
+
+    mp = model.params
+    d = pos.shape[-1]
+    band = receptive_band_units(mp, d)
+    i = jax.lax.axis_index(axis)
+    all_pos, all_val, _, all_mask = _halo_concat(
+        pos, val, jnp.zeros((pos.shape[0], 0), pos.dtype), mask, bounds,
+        sigma, band, halo_budget, axis, n_shards,
+    )
+    h = build_hierarchy(all_pos, sigma, nr_levels, caps_local, point_mask=all_mask)
+    lo, hi = bounds[i], bounds[i + 1]
+    own_masks = {}
+    for l, s_l in enumerate(h.structures):
+        coord = s_l.keys[:, 0].astype(jnp.float32) * float(1 << l)
+        own_masks[s_l.capacity] = (coord >= lo) & (coord < hi) & s_l.occupancy_mask()
+    with lnm.norm_stats_distributed(axis, own_masks):
+        logp, _ = model.apply(params, h, all_pos, all_val)
+    n_own = pos.shape[0]
+    own_valid = mask & (tgt != ignore_index)
+    cnt = jnp.sum(own_valid.astype(jnp.float32))
+    loss_mean = segmentation_loss(logp[:n_own], tgt, ignore_index, None, mask)
+    return loss_mean * cnt, cnt
+
+
 def make_sharded_lnn_train_step(
     mesh: Mesh,
     model,
@@ -363,43 +409,16 @@ def make_sharded_lnn_train_step(
     """
     import optax
 
-    from lattice_net_tpu.lattice.structure import build_hierarchy
-    from lattice_net_tpu.losses import segmentation_loss
-    from lattice_net_tpu.nn import modules as lnm
     from lattice_net_tpu.parallel.data_parallel import TrainState
 
     caps_local = tuple(int(c) for c in caps_local)
     n_shards = mesh.shape[axis]
-    mp = model.params
 
     def shard_loss(params, pos, val, tgt, mask, bounds):
-        d = pos.shape[-1]
-        band = receptive_band_units(mp, d)
-        i = jax.lax.axis_index(axis)
-        all_pos, all_val, _, all_mask = _halo_concat(
-            pos, val, jnp.zeros((pos.shape[0], 0), pos.dtype), mask, bounds,
-            sigma, band, halo_budget, axis, n_shards,
+        return _sharded_loss_terms(
+            model, params, pos, val, tgt, mask, bounds, sigma, nr_levels,
+            caps_local, halo_budget, axis, n_shards, ignore_index,
         )
-        h = build_hierarchy(all_pos, sigma, nr_levels, caps_local, point_mask=all_mask)
-        lo, hi = bounds[i], bounds[i + 1]
-        own_masks = {}
-        for l, s_l in enumerate(h.structures):
-            coord = s_l.keys[:, 0].astype(jnp.float32) * float(1 << l)
-            own_masks[s_l.capacity] = (
-                (coord >= lo) & (coord < hi) & s_l.occupancy_mask()
-            )
-        with lnm.norm_stats_distributed(axis, own_masks):
-            logp, _ = model.apply(params, h, all_pos, all_val)
-        n_own = pos.shape[0]
-        # per-shard loss over own valid points, weighted by the shard's valid
-        # count: the NLL half then psums to exactly the global per-point
-        # mean; the Lovász half becomes a per-SHARD Lovász average — the same
-        # decomposition the DP trainer applies per cloud (make_loss_fn vmaps
-        # Lovász per cloud and means over the batch)
-        own_valid = mask & (tgt != ignore_index)
-        cnt = jnp.sum(own_valid.astype(jnp.float32))
-        loss_mean = segmentation_loss(logp[:n_own], tgt, ignore_index, None, mask)
-        return loss_mean * cnt, cnt
 
     @functools.partial(
         shard_map,
@@ -415,6 +434,110 @@ def make_sharded_lnn_train_step(
         return lsum / jnp.maximum(cnt, 1.0)
 
     def step(state: TrainState, pos_s, val_s, tgt_s, mask_s, bounds):
+        loss, grads = jax.value_and_grad(global_loss)(
+            state.params, pos_s, val_s, tgt_s, mask_s, bounds
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            loss,
+        )
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# hybrid DP x lattice-sharding over a 2-axis mesh
+# ---------------------------------------------------------------------------
+
+
+def shard_clouds_host(clouds, sigma, n_shards: int, ignore_index: int = -1):
+    """Stripe-partition a BATCH of (positions, values, target) clouds.
+
+    Every cloud is padded to a common per-shard point count so the batch
+    stacks to static ``(B, n_shards, per, ...)`` blocks for the hybrid step
+    (DP over clouds x stripes within each cloud).  Pad slots carry
+    ``ignore_index`` targets and False masks.
+
+    Returns (pos, val, tgt, mask, ids, bounds) with ids (B, n_shards, per)
+    mapping back to each cloud's original point index (-1 = pad) and bounds
+    (B, n_shards + 1) per-cloud stripe boundaries.
+    """
+    per = max(-(-len(c[0]) // n_shards) for c in clouds)
+    ps, vs, ts, ms, ids, bs = [], [], [], [], [], []
+    for positions, values, target in clouds:
+        pos_s, val_s, mask_s, ids_s, bounds = shard_points_host(
+            positions, values, sigma, n_shards, per=per
+        )
+        idn = np.asarray(ids_s)
+        tgt_s = np.where(
+            idn >= 0,
+            np.asarray(target)[np.clip(idn, 0, len(target) - 1)],
+            ignore_index,
+        ).astype(np.int32)
+        ps.append(pos_s), vs.append(val_s), ts.append(tgt_s)
+        ms.append(mask_s), ids.append(ids_s), bs.append(bounds)
+    return (
+        jnp.stack(ps), jnp.stack(vs), jnp.asarray(np.stack(ts)),
+        jnp.stack(ms), jnp.stack(ids), jnp.stack(bs),
+    )
+
+
+def make_hybrid_lnn_train_step(
+    mesh: Mesh,
+    model,
+    tx,
+    sigma,
+    nr_levels: int,
+    caps_local,
+    halo_budget: int,
+    ignore_index: int = -1,
+    dp_axis: str = "dp",
+    sp_axis: str = "sp",
+):
+    """Jitted hybrid train step over a 2-axis mesh: a batch of clouds is
+    data-parallel over ``dp_axis`` while each cloud's vertex table is striped
+    over ``sp_axis`` — DP x "context parallelism" composed, the full scale-out
+    recipe (many big clouds per step, none of which fits one device).
+
+    Semantics: the loss is the global per-valid-point mean over the WHOLE
+    batch (each shard contributes loss*count, one psum over both axes
+    normalises), so gradients equal a single giant-device step over the
+    concatenated batch up to the per-shard Lovász decomposition documented in
+    ``_sharded_loss_terms``.  Params/optimizer state are replicated; the only
+    collectives per step are the two halo ppermutes per cloud (sp axis), the
+    GroupNorm moment psums (sp axis), and the loss/grad psum (both axes).
+    """
+    import optax
+
+    from lattice_net_tpu.parallel.data_parallel import TrainState
+
+    caps_local = tuple(int(c) for c in caps_local)
+    n_sp = mesh.shape[sp_axis]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(dp_axis, sp_axis), P(dp_axis, sp_axis), P(dp_axis, sp_axis),
+            P(dp_axis, sp_axis), P(dp_axis),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def global_loss(params, pos_s, val_s, tgt_s, mask_s, bounds):
+        lsum, cnt = _sharded_loss_terms(
+            model, params, pos_s[0, 0], val_s[0, 0], tgt_s[0, 0], mask_s[0, 0],
+            bounds[0], sigma, nr_levels, caps_local, halo_budget, sp_axis,
+            n_sp, ignore_index,
+        )
+        lsum = jax.lax.psum(lsum, (dp_axis, sp_axis))
+        cnt = jax.lax.psum(cnt, (dp_axis, sp_axis))
+        return lsum / jnp.maximum(cnt, 1.0)
+
+    def step(state, pos_s, val_s, tgt_s, mask_s, bounds):
         loss, grads = jax.value_and_grad(global_loss)(
             state.params, pos_s, val_s, tgt_s, mask_s, bounds
         )

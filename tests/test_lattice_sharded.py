@@ -216,3 +216,90 @@ def test_sharded_train_step_runs_and_descends():
     assert all(np.isfinite(l) for l in losses), losses
     assert int(state.step) == 4
     assert losses[-1] < losses[0], losses
+
+
+def test_hybrid_dp_sp_matches_per_cloud_sharded():
+    """Hybrid DP x lattice-sharding over a (2, 4) mesh: the global loss must
+    equal the valid-count-weighted mean of the two clouds' sp-only sharded
+    losses (same stripes, same per-shard Lovász decomposition), and the step
+    must train."""
+    from lattice_net_tpu.lattice.structure import build_hierarchy
+    from lattice_net_tpu.parallel.data_parallel import TrainState
+    from lattice_net_tpu.parallel.lattice_sharded import (
+        make_hybrid_lnn_train_step,
+        make_sharded_lnn_train_step,
+        shard_clouds_host,
+        shard_points_host,
+    )
+    from lattice_net_tpu.train import make_optimizer
+
+    n_sp, n_dp = 4, 2
+    devices = np.asarray(jax.devices()[: n_dp * n_sp]).reshape(n_dp, n_sp)
+    mesh2 = Mesh(devices, ("dp", "sp"))
+    mesh_sp = Mesh(devices[0], ("sp",))
+
+    rng = np.random.default_rng(3)
+    n, d = 2048, 3
+    sigma = 0.15
+    clouds = []
+    for b in range(n_dp):
+        positions = rng.uniform(-2, 2, (n, d)).astype(np.float32)
+        values = np.zeros((n, 1), np.float32)
+        target = (
+            (positions[:, 0] > 0).astype(np.int32)
+            + 2 * (positions[:, 1] > 0).astype(np.int32)
+            + 1
+        )
+        clouds.append((positions, values, target))
+
+    model, mp = _small_model()
+    caps_local = (4096, 2048, 1024)
+    pos_b, val_b, tgt_b, mask_b, ids_b, bounds_b = shard_clouds_host(
+        clouds, sigma, n_sp, ignore_index=0
+    )
+    per = pos_b.shape[2]
+
+    h0 = build_hierarchy(
+        jnp.asarray(clouds[0][0]), sigma, 2, (8192, 4096, 2048)
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), h0, jnp.asarray(clouds[0][0]),
+        jnp.asarray(clouds[0][1]),
+    )
+    tx = make_optimizer(1e-2)
+
+    # reference: per-cloud sp-only sharded losses with the same stripes
+    ref_losses, counts = [], []
+    sp_step = make_sharded_lnn_train_step(
+        mesh_sp, model, tx, sigma, 2, caps_local, halo_budget=per, ignore_index=0
+    )
+    for b, (positions, values, target) in enumerate(clouds):
+        pos_s, val_s, mask_s, ids_s, bounds = shard_points_host(
+            positions, values, sigma, n_sp, per=per
+        )
+        np.testing.assert_allclose(np.asarray(bounds), np.asarray(bounds_b[b]))
+        idn = np.asarray(ids_s)
+        tgt_s = jnp.asarray(
+            np.where(idn >= 0, target[np.clip(idn, 0, n - 1)], 0).astype(np.int32)
+        )
+        _, loss = sp_step(
+            TrainState.create(params, tx), pos_s, val_s, tgt_s, mask_s, bounds
+        )
+        ref_losses.append(float(loss))
+        counts.append(int((target != 0).sum()))
+    ref_global = float(np.average(ref_losses, weights=counts))
+
+    step = make_hybrid_lnn_train_step(
+        mesh2, model, tx, sigma, 2, caps_local, halo_budget=per, ignore_index=0
+    )
+    state = TrainState.create(params, tx)
+    state, loss0 = step(state, pos_b, val_b, tgt_b, mask_b, bounds_b)
+    np.testing.assert_allclose(float(loss0), ref_global, rtol=1e-5)
+
+    losses = [float(loss0)]
+    for _ in range(3):
+        state, loss = step(state, pos_b, val_b, tgt_b, mask_b, bounds_b)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert int(state.step) == 4
+    assert losses[-1] < losses[0], losses
