@@ -274,3 +274,24 @@ def test_config_overrides():
         apply_overrides(cfg, ["no_equals_sign"])
     with pytest.raises(ConfigError):
         apply_overrides(cfg, ["train.lr.x=1"])  # lr is not a section
+
+
+def test_synth_shapenet_benchmark_layout(tmp_path):
+    """data/synth_shapenet writes the REAL benchmark layout (points/*.pts,
+    points_label/*.seg, shuffled split JSONs) that ShapeNetPartSeg indexes."""
+    from lattice_net_tpu.data.shapenet import NR_PARTS, ShapeNetPartSeg
+    from lattice_net_tpu.data.synth_shapenet import write_benchmark_dir
+
+    write_benchmark_dir(tmp_path, nr_train=3, nr_test=2, n_points=600)
+    train = ShapeNetPartSeg(str(tmp_path), mode="train", restrict_to_object="motorbike", shuffle=False)
+    test = ShapeNetPartSeg(str(tmp_path), mode="test", restrict_to_object="motorbike", shuffle=False)
+    assert (len(train.files), len(test.files)) == (3, 2)
+    c = train.get_cloud(0)
+    assert c.V.shape == (600, 3) and c.L_gt.shape == (600, 1)
+    labels = set(np.unique(c.L_gt).tolist())
+    assert labels <= set(range(1, NR_PARTS["motorbike"] + 1))
+    assert len(labels) == NR_PARTS["motorbike"]  # all six parts present
+    # disjoint splits
+    names_tr = {p.stem for p, _ in train.files}
+    names_te = {p.stem for p, _ in test.files}
+    assert not (names_tr & names_te)
