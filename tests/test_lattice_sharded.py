@@ -303,3 +303,75 @@ def test_hybrid_dp_sp_matches_per_cloud_sharded():
     assert all(np.isfinite(l) for l in losses), losses
     assert int(state.step) == 4
     assert losses[-1] < losses[0], losses
+
+
+def test_hybrid_uneven_cloud_sizes():
+    """A batch mixing a full-size and a quarter-size cloud shares one static
+    (B, n_sp, per, ...) block: the small cloud's trailing stripes are pure
+    padding (empty own-point sets), which must neither skew the global loss
+    (== count-weighted per-cloud sharded losses) nor break GN ownership."""
+    from lattice_net_tpu.lattice.structure import build_hierarchy
+    from lattice_net_tpu.parallel.data_parallel import TrainState
+    from lattice_net_tpu.parallel.lattice_sharded import (
+        make_hybrid_lnn_train_step,
+        make_sharded_lnn_train_step,
+        shard_clouds_host,
+        shard_points_host,
+    )
+    from lattice_net_tpu.train import make_optimizer
+
+    n_sp, n_dp = 4, 2
+    devices = np.asarray(jax.devices()[: n_dp * n_sp]).reshape(n_dp, n_sp)
+    mesh2 = Mesh(devices, ("dp", "sp"))
+    mesh_sp = Mesh(devices[0], ("sp",))
+
+    rng = np.random.default_rng(4)
+    sigma = 0.15
+    clouds = []
+    for n in (2048, 512):
+        positions = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        values = np.zeros((n, 1), np.float32)
+        target = (positions[:, 0] > 0).astype(np.int32) + 1
+        clouds.append((positions, values, target))
+
+    model, mp = _small_model()
+    caps_local = (4096, 2048, 1024)
+    pos_b, val_b, tgt_b, mask_b, ids_b, bounds_b = shard_clouds_host(
+        clouds, sigma, n_sp, ignore_index=0
+    )
+    per = pos_b.shape[2]
+    assert per == 512  # the small cloud fills only ~1/4 of its block
+
+    h0 = build_hierarchy(jnp.asarray(clouds[0][0]), sigma, 2, (8192, 4096, 2048))
+    params = model.init(
+        jax.random.PRNGKey(0), h0, jnp.asarray(clouds[0][0]), jnp.asarray(clouds[0][1])
+    )
+    tx = make_optimizer(1e-2)
+
+    sp_step = make_sharded_lnn_train_step(
+        mesh_sp, model, tx, sigma, 2, caps_local, halo_budget=per, ignore_index=0
+    )
+    ref_losses, counts = [], []
+    for positions, values, target in clouds:
+        pos_s, val_s, mask_s, ids_s, bounds = shard_points_host(
+            positions, values, sigma, n_sp, per=per
+        )
+        idn = np.asarray(ids_s)
+        tgt_s = jnp.asarray(
+            np.where(idn >= 0, target[np.clip(idn, 0, len(target) - 1)], 0).astype(np.int32)
+        )
+        _, loss = sp_step(
+            TrainState.create(params, tx), pos_s, val_s, tgt_s, mask_s, bounds
+        )
+        ref_losses.append(float(loss))
+        counts.append(int((target != 0).sum()))
+    ref_global = float(np.average(ref_losses, weights=counts))
+
+    step = make_hybrid_lnn_train_step(
+        mesh2, model, tx, sigma, 2, caps_local, halo_budget=per, ignore_index=0
+    )
+    _, loss0 = step(
+        TrainState.create(params, tx), pos_b, val_b, tgt_b, mask_b, bounds_b
+    )
+    assert np.isfinite(float(loss0))
+    np.testing.assert_allclose(float(loss0), ref_global, rtol=1e-5)
