@@ -88,6 +88,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--small-model", action="store_true",
                     help="use the KITTI smallernet instead of the full ScanNet net")
+    ap.add_argument("--table-only", action="store_true",
+                    help="run only the 5M-capacity table/lookup/map build phase "
+                    "(machinery proof; usable on a CPU host when no chip is up — "
+                    "latency numbers are then NOT meaningful)")
     args = ap.parse_args()
 
     import jax
@@ -162,6 +166,9 @@ def main():
         print(f"  overflow per level:  {ovf_b}  same-level nbr rows: {nbr_rows}")
         assert sum(ovf_b) == 0
         del h_big
+    if args.table_only:
+        print("table-only probe done (model phase skipped)")
+        return
 
     # which fast paths engage at this scale?
     probe_vals = jnp.zeros((caps[0], 32), jnp.bfloat16)
