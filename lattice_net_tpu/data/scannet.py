@@ -127,7 +127,9 @@ class ScanNet:
         else:
             V, C, raw = read_ply_xyz_rgb_label(path)
         L = _LUT[np.clip(raw, 0, 40)].reshape(-1, 1)
-        if len(V) > self.max_points:
+        # max_points <= 0 means uncapped (reference loader semantics:
+        # lnn_eval_scannet.cfg sets -1 so submissions label every raw point)
+        if self.max_points > 0 and len(V) > self.max_points:
             sel = self.rng.choice(len(V), self.max_points, replace=False)
             V, C, L = V[sel], C[sel], L[sel]
         scene_name = path.stem.split("_vh_clean")[0]

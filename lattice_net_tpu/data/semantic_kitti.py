@@ -107,7 +107,7 @@ class SemanticKitti:
         if self.cap_distance > 0:
             keep = np.linalg.norm(V, axis=1) < self.cap_distance
             V, I, L = V[keep], I[keep], L[keep]
-        if len(V) > self.max_points:
+        if self.max_points > 0 and len(V) > self.max_points:
             sel = self.rng.choice(len(V), self.max_points, replace=False)
             V, I, L = V[sel], I[sel], L[sel]
         return ToyCloud(
@@ -122,7 +122,7 @@ class SemanticKitti:
         if self.cap_distance > 0:
             keep = np.linalg.norm(V, axis=1) < self.cap_distance
             V, I, L = V[keep], I[keep], L[keep]
-        if len(V) > self.max_points:
+        if self.max_points > 0 and len(V) > self.max_points:
             sel = self.rng.choice(len(V), self.max_points, replace=False)
             V, I, L = V[sel], I[sel], L[sel]
         return V, I, L

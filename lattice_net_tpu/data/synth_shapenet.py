@@ -57,6 +57,11 @@ def make_motorbike(n_points: int = 2500, seed: int = 0):
     placement) so a dataset of these has real shape variety; part proportions
     roughly follow the benchmark's motorbikes (wheels + frame dominate).
     """
+    if n_points < 64:
+        raise ValueError(
+            f"n_points={n_points} too small: the six part floors (8 points "
+            "each, plus tube splits) need >= 64 points"
+        )
     rng = np.random.default_rng(seed)
     wheel_r = rng.uniform(0.24, 0.32)
     base = rng.uniform(0.55, 0.7)  # half wheelbase

@@ -108,23 +108,28 @@ def main():
     f_fwd_nll = jax.jit(lambda p, pos: loss_nll_only(p, pos))
     a2 = timeit("A2 forward loss, NLL only (no Lovász)", f_fwd_nll, params, positions)
 
+    # Grad stages must RETURN the grads: a jitted program's unused outputs are
+    # the only thing XLA cannot DCE, and returning just the loss would delete
+    # the entire backward pass from the compiled program (verified on the HLO
+    # — the loss alone depends only on the forward).
     # B: full grad
-    f_grad = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos)[0])
+    f_grad = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos))
     b = timeit("B value_and_grad (build inside)", f_grad, params, positions)
 
-    f_grad_nll = jax.jit(lambda p, pos: jax.value_and_grad(loss_nll_only)(p, pos)[0])
+    f_grad_nll = jax.jit(lambda p, pos: jax.value_and_grad(loss_nll_only)(p, pos))
     b2 = timeit("B2 value_and_grad, NLL only", f_grad_nll, params, positions)
 
     # C: grad with prebuilt hierarchy (build outside AD, same program builds
     # the hierarchy first, then differentiates only the network)
     def c_fn(p, pos):
         h = build_hierarchy(pos, sigma, mp.nr_downsamples, caps)
-        return jax.value_and_grad(loss_prebuilt)(p, h, pos)[0]
+        return jax.value_and_grad(loss_prebuilt)(p, h, pos)
 
     c = timeit("C build, then value_and_grad of network only", jax.jit(c_fn), params, positions)
 
-    # D: optimizer update alone
-    grads = jax.jit(lambda p, pos: jax.grad(loss_of)(p, pos))(params, positions)
+    # D: optimizer update alone (returns the full updated tree — keeps every
+    # leaf's update live)
+    _, grads = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos))(params, positions)
     jax.block_until_ready(grads)
 
     def d_fn(p, pos, g):
@@ -132,7 +137,7 @@ def main():
         import optax
 
         newp = optax.apply_updates(p, upd)
-        return jax.tree.leaves(newp)[0]
+        return jax.tree.leaves(newp)[0].reshape(-1)[0], newp
 
     d = timeit("D optimizer update only", jax.jit(d_fn), params, positions, grads)
 

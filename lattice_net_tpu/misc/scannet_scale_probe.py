@@ -155,7 +155,7 @@ def main():
     positions = jnp.asarray(V)
     values = jnp.asarray(np.concatenate([C, V[:, 2:3]], axis=1))  # rgb+height
 
-    if caps_table != caps:
+    if args.table_only or caps_table != caps:
         t0 = time.perf_counter()
         h_big = build_hierarchy(positions, sigma, mp.nr_downsamples, caps_table)
         occ_b = [int(s.nr_verts) for s in h_big.structures]

@@ -139,6 +139,7 @@ def make_loss_fn(
         overflow = sum(s.nr_overflow for s in h.structures)
         return loss, (
             jnp.sum(correct), jnp.sum(valid), h.structures[0].nr_verts, overflow, inter, union,
+            jnp.sum(point_mask),
         )
 
     def loss_fn(params, batch, rng, train=True):
@@ -147,12 +148,16 @@ def make_loss_fn(
         losses, aux = jax.vmap(
             lambda p, v, t, m, r: per_cloud(params, p, v, t, m, r, train)
         )(batch["positions"], batch["values"], batch["target"], batch["point_mask"], rngs)
-        correct, valid, nr_verts, overflow, inter, union = aux
+        correct, valid, nr_verts, overflow, inter, union, nr_points = aux
+        # *_mean metrics average over ALL batch slots, including dummy padding
+        # slots (masked-out clouds that build ~0 vertices): consumers comparing
+        # vertex/point scales must use the ratio or rescale by B / nr_real
         metrics = {
             "loss": jnp.mean(losses),
             "acc": jnp.sum(correct) / jnp.maximum(jnp.sum(valid), 1),
             "nr_verts_mean": jnp.mean(nr_verts),
             "nr_overflow_mean": jnp.mean(overflow.astype(jnp.float32)),
+            "nr_points_mean": jnp.mean(nr_points.astype(jnp.float32)),
             "iou_intersection": jnp.sum(inter, axis=0),
             "iou_union": jnp.sum(union, axis=0),
         }

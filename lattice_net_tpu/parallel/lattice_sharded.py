@@ -87,12 +87,19 @@ def shard_points_host(positions, values, sigma, n_shards: int, per: int | None =
     ids_s = order_p.reshape(n_shards, per)  # original point index, -1 = pad
 
     s_sorted = s[order]
-    # stripe boundaries in elev0 units (replicated constants)
+    # stripe boundaries in elev0 units (replicated constants).  When per
+    # exceeds ceil(n / n_shards) (a shared static shape for a batch of
+    # different-sized clouds), trailing stripes hold only padding: their
+    # boundary goes to +inf so the last REAL stripe owns every remaining
+    # vertex — an empty stripe owning a vertex range would orphan those
+    # vertices from the psum'd GroupNorm moments (it never builds them).
     bounds = np.full(n_shards + 1, np.inf, np.float32)
     bounds[0] = -np.inf
     for i in range(1, n_shards):
         k = i * per
-        bounds[i] = 0.5 * (s_sorted[min(k - 1, n - 1)] + s_sorted[min(k, n - 1)])
+        if k >= n:
+            break  # stripes i.. are padding-only; bounds stay +inf
+        bounds[i] = 0.5 * (s_sorted[k - 1] + s_sorted[k])
     return (
         jnp.asarray(pos_s, jnp.float32),
         jnp.asarray(val_s, jnp.float32),
@@ -343,7 +350,18 @@ def make_sharded_lnn_forward(
         logp, nv, ov = per_device(params, pos_s[0], val_s[0], mask_s[0], bounds)
         return logp[None], nv[None], ov[None]
 
-    return jax.jit(run)
+    jrun = jax.jit(run)
+
+    def checked(params, pos_s, val_s, mask_s, bounds):
+        if pos_s.shape[0] != n_shards:
+            raise ValueError(
+                f"sharded batch has {pos_s.shape[0]} stripes but the mesh "
+                f"{axis} axis is {n_shards}; a larger block would silently "
+                f"drop stripes (the per-device body indexes [0])"
+            )
+        return jrun(params, pos_s, val_s, mask_s, bounds)
+
+    return checked
 
 
 def _sharded_loss_terms(
@@ -434,6 +452,12 @@ def make_sharded_lnn_train_step(
         return lsum / jnp.maximum(cnt, 1.0)
 
     def step(state: TrainState, pos_s, val_s, tgt_s, mask_s, bounds):
+        if pos_s.shape[0] != n_shards:
+            raise ValueError(
+                f"sharded batch has {pos_s.shape[0]} stripes but the mesh "
+                f"{axis} axis is {n_shards}; a larger block would silently "
+                f"drop stripes (the per-device body indexes [0])"
+            )
         loss, grads = jax.value_and_grad(global_loss)(
             state.params, pos_s, val_s, tgt_s, mask_s, bounds
         )
@@ -537,7 +561,18 @@ def make_hybrid_lnn_train_step(
         cnt = jax.lax.psum(cnt, (dp_axis, sp_axis))
         return lsum / jnp.maximum(cnt, 1.0)
 
+    n_dp = mesh.shape[dp_axis]
+
     def step(state, pos_s, val_s, tgt_s, mask_s, bounds):
+        # shard_map hands each device a (B/n_dp, n_sp/n_sp, ...) block and the
+        # loss body indexes [0, 0]: any larger block would SILENTLY drop
+        # clouds/stripes, so the batch must match the mesh exactly
+        if pos_s.shape[0] != n_dp or pos_s.shape[1] != n_sp:
+            raise ValueError(
+                f"hybrid batch {pos_s.shape[:2]} must equal the mesh "
+                f"({dp_axis}={n_dp}, {sp_axis}={n_sp}); split the batch into "
+                f"mesh-sized steps"
+            )
         loss, grads = jax.value_and_grad(global_loss)(
             state.params, pos_s, val_s, tgt_s, mask_s, bounds
         )

@@ -43,13 +43,17 @@ def predict_cloud_chunked(predict_fn, prepared, n_points: int, model_params) -> 
     return preds
 
 
-def run(
-    config_path: str,
-    checkpoint: str = "",
-    write_predictions: bool | None = None,
-    overrides=(),
-    n_points: int = 0,
-):
+class EvalSetup:
+    """Everything the eval-side tools share: restored params + a jitted
+    single-chunk argmax predictor over the config's model/lattice knobs.
+    Built once by :func:`setup_predictor`; used by ``ln_eval`` and
+    ``misc/lnn_make_teaser`` (previously duplicated in both)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def setup_predictor(config_path: str, checkpoint: str = "", overrides=(), n_points: int = 0):
     import jax
 
     from lattice_net_tpu.config import (
@@ -62,15 +66,12 @@ def run(
     from lattice_net_tpu.lattice.structure import build_hierarchy, default_capacity_schedule
     from lattice_net_tpu.models import LNN, prepare_cloud
     from lattice_net_tpu.parallel import make_batch
-    from lattice_net_tpu.train.callbacks import Scores, iou_counts
-    from lattice_net_tpu.train.checkpoint import load_checkpoint
     from lattice_net_tpu.train.ln_train import create_loader
 
     cfg = apply_overrides(load_config(config_path), overrides)
     ep = EvalParams.from_config(cfg)
     lp = LatticeParams.from_config(cfg)
     checkpoint = checkpoint or ep.checkpoint_path
-    do_write = ep.do_write_predictions if write_predictions is None else write_predictions
 
     loader = create_loader(ep.dataset_name, cfg, "test")
     nr_classes = loader.nr_classes
@@ -103,7 +104,30 @@ def run(
         logp, _ = model.apply(params, h, batch["positions"][0], batch["values"][0])
         return jax.numpy.argmax(logp, axis=-1)
 
-    predict_fn = lambda batch: _predict(params, batch)
+    return EvalSetup(
+        cfg=cfg, ep=ep, loader=loader, nr_classes=nr_classes,
+        ignore_index=ignore_index, mp=mp, sigma=sigma, caps=caps,
+        n_points=n_points, model=model, params=params,
+        predict_fn=lambda batch: _predict(params, batch),
+    )
+
+
+def run(
+    config_path: str,
+    checkpoint: str = "",
+    write_predictions: bool | None = None,
+    overrides=(),
+    n_points: int = 0,
+):
+    from lattice_net_tpu.models import prepare_cloud
+    from lattice_net_tpu.train.callbacks import Scores, iou_counts
+
+    s = setup_predictor(config_path, checkpoint, overrides, n_points)
+    ep, loader, mp, sigma = s.ep, s.loader, s.mp, s.sigma
+    nr_classes, ignore_index, n_points, predict_fn = (
+        s.nr_classes, s.ignore_index, s.n_points, s.predict_fn,
+    )
+    do_write = ep.do_write_predictions if write_predictions is None else write_predictions
 
     scores = Scores()
     out_dir = Path(ep.output_predictions_path or "predictions")

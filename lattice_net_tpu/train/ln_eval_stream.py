@@ -21,50 +21,18 @@ import numpy as np
 
 
 def run(config_path: str, checkpoint: str = "", rate_hz: float = 10.0, nr_scans: int = 50):
-    import jax
-    import jax.numpy as jnp
-
-    from lattice_net_tpu.config import (
-        EvalParams,
-        LatticeParams,
-        load_config,
-        model_params_from_config,
-    )
-    from lattice_net_tpu.lattice.structure import build_hierarchy, default_capacity_schedule
-    from lattice_net_tpu.models import LNN, prepare_cloud
+    from lattice_net_tpu.models import prepare_cloud
     from lattice_net_tpu.parallel import make_batch
-    from lattice_net_tpu.train.checkpoint import load_checkpoint
-    from lattice_net_tpu.train.ln_train import create_loader
+    from lattice_net_tpu.train.ln_eval import setup_predictor
 
-    cfg = load_config(config_path)
-    ep = EvalParams.from_config(cfg)
-    lp = LatticeParams.from_config(cfg)
-    loader = create_loader(ep.dataset_name, cfg, "test")
-    mp = model_params_from_config(cfg, loader.nr_classes)
-    sigma = lp.sigmas[0] if len(set(lp.sigmas)) == 1 else np.asarray(lp.sigmas)
-    caps = default_capacity_schedule(lp.hash_table_capacity, mp.nr_downsamples)
-
-    first = loader.get_cloud(0)
-    n_points = 1 << int(np.ceil(np.log2(max(len(first.V), 512))))
-    model = LNN(mp)
-    b0 = make_batch([prepare_cloud(first, mp)], mp, n_points)
-    h0 = build_hierarchy(
-        b0["positions"][0], sigma, mp.nr_downsamples, caps, point_mask=b0["point_mask"][0]
-    )
-    params = model.init(jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0])
-    if checkpoint or ep.checkpoint_path:
-        from lattice_net_tpu.train.checkpoint import load_params
-
-        params = load_params(checkpoint or ep.checkpoint_path, params)
-
-    @jax.jit
-    def predict(params, positions, values, point_mask):
-        h = build_hierarchy(positions, sigma, mp.nr_downsamples, caps, point_mask=point_mask)
-        logp, _ = model.apply(params, h, positions, values)
-        return jnp.argmax(logp, axis=-1)
+    s = setup_predictor(config_path, checkpoint)
+    loader, mp, n_points = s.loader, s.mp, s.n_points
+    predict = lambda batch: s.predict_fn(batch)
 
     # warm up the compile before the clock starts (sensor streams don't wait)
-    predict(params, b0["positions"][0], b0["values"][0], b0["point_mask"][0]).block_until_ready()
+    first = loader.get_cloud(0)
+    b0 = make_batch([prepare_cloud(first, mp)], mp, n_points)
+    predict(b0).block_until_ready()
 
     period = 1.0 / rate_hz
     latencies, misses = [], 0
@@ -79,9 +47,7 @@ def run(config_path: str, checkpoint: str = "", rate_hz: float = 10.0, nr_scans:
             if now < t_next:
                 time.sleep(t_next - now)
             t0 = time.perf_counter()
-            predict(
-                params, batch["positions"][0], batch["values"][0], batch["point_mask"][0]
-            ).block_until_ready()
+            predict(batch).block_until_ready()
             dt = time.perf_counter() - t0
             latencies.append(dt)
             if dt > period:

@@ -372,10 +372,13 @@ def run(
                     rng, step_rng = jax.random.split(rng)
                     state, metrics = train_step(state, batch, step_rng)
                     # per-sample density heuristics (reference ln_train.py:57-81);
-                    # nr_verts_mean is already fetched with the loss below
+                    # both metrics come back with the loss (no extra device
+                    # sync) and are diluted by the same B/real dummy-slot
+                    # factor, so rescale both to per-real-cloud means
+                    scale = batch["positions"].shape[0] / max(1, real)
                     sanity_check(
-                        int(metrics["nr_verts_mean"]),
-                        int(np.asarray(batch["point_mask"]).sum() / max(1, real)),
+                        int(float(metrics["nr_verts_mean"]) * scale),
+                        int(float(metrics["nr_points_mean"]) * scale),
                         caps[0],
                         seen=warned,
                     )
