@@ -152,3 +152,46 @@ class SynthKitti:
 
     def label_names(self):
         return CLASS_NAMES
+
+
+# ---------------------------------------------------------------------------
+# real on-disk format writer (velodyne .bin + .label)
+# ---------------------------------------------------------------------------
+
+# synth class -> SemanticKITTI train id (data/semantic_kitti.py CLASS_NAMES):
+# ground->road, building->building, pole->pole, vegetation->vegetation,
+# vehicle->car, fence->fence
+_SYNTH_TO_KITTI_TRAIN = {0: 9, 1: 13, 2: 18, 3: 15, 4: 1, 5: 14}
+
+
+def write_kitti_dir(
+    root, nr_train: int = 10, nr_test: int = 4, n_points: int = 131072, seed: int = 0
+):
+    """Write procedural scans in the REAL SemanticKITTI layout
+    (``sequences/<seq>/velodyne/*.bin`` float32 xyzi + ``labels/*.label``
+    uint32 raw ids, lower 16 bits semantic), so the actual loader — including
+    the learning-map remap and the native threaded ``.bin`` reader — runs
+    end-to-end without dataset egress.  Train scans go to sequence 00, test
+    scans to sequence 11 (with labels; the real test split withholds them)."""
+    from pathlib import Path
+
+    from lattice_net_tpu.data.semantic_kitti import LEARNING_MAP_INV
+
+    root = Path(root)
+    rng = np.random.default_rng(seed + 777)
+    for i in range(nr_train + nr_test):
+        seq = "00" if i < nr_train else "11"
+        scan = f"{i:06d}"
+        cloud = make_scene(n_points, seed=seed + i)
+        xyzi = np.concatenate(
+            [cloud.V.astype(np.float32), rng.uniform(0, 1, (len(cloud.V), 1)).astype(np.float32)],
+            axis=1,
+        )
+        train_ids = np.vectorize(_SYNTH_TO_KITTI_TRAIN.get)(cloud.L_gt.reshape(-1))
+        raw = np.vectorize(LEARNING_MAP_INV.get)(train_ids).astype(np.uint32)
+        d = root / "sequences" / seq
+        (d / "velodyne").mkdir(parents=True, exist_ok=True)
+        (d / "labels").mkdir(parents=True, exist_ok=True)
+        xyzi.tofile(d / "velodyne" / f"{scan}.bin")
+        raw.tofile(d / "labels" / f"{scan}.label")
+    return root

@@ -295,3 +295,28 @@ def test_synth_shapenet_benchmark_layout(tmp_path):
     names_tr = {p.stem for p, _ in train.files}
     names_te = {p.stem for p, _ in test.files}
     assert not (names_tr & names_te)
+
+
+def test_synth_kitti_real_format_roundtrip(tmp_path):
+    """write_kitti_dir emits the real SemanticKITTI layout; the loader reads
+    it back through the learning-map remap with intensity intact."""
+    from lattice_net_tpu.data.semantic_kitti import SemanticKitti
+    from lattice_net_tpu.data.synth_kitti import write_kitti_dir
+
+    write_kitti_dir(tmp_path, nr_train=2, nr_test=1, n_points=4096)
+    ds = SemanticKitti(
+        str(tmp_path), mode="train", cap_distance=-1,
+        max_nr_points_per_cloud=-1, shuffle=False,
+    )
+    assert len(ds) == 2
+    c = ds.get_cloud(0)
+    assert c.V.shape == (4096, 3) and c.I.shape == (4096, 1)
+    assert 0.0 <= c.I.min() and c.I.max() <= 1.0
+    # only the six synth classes' train ids appear
+    assert set(np.unique(c.L_gt).tolist()) <= {1, 9, 13, 14, 15, 18}
+    # uncapped: every written point comes back
+    ds_capped = SemanticKitti(
+        str(tmp_path), mode="train", cap_distance=-1,
+        max_nr_points_per_cloud=1000, shuffle=False,
+    )
+    assert ds_capped.get_cloud(0).V.shape == (1000, 3)
