@@ -48,6 +48,7 @@ import numpy as np
 BASELINE_MS = 55.0
 REPEATS = 5
 ITERS = 20
+WATCHDOG_SECS = 2400
 
 
 def synthetic_kitti_scan(n_points: int, seed: int = 0) -> np.ndarray:
@@ -58,6 +59,25 @@ def synthetic_kitti_scan(n_points: int, seed: int = 0) -> np.ndarray:
 
 
 def main():
+    import threading
+
+    # Watchdog: if the TPU tunnel is unreachable, device enumeration hangs
+    # indefinitely (observed: >5 min with no error).  Emit a diagnostic JSON
+    # line and exit instead of hanging the driver.  Generous budget: a cold
+    # compile of both programs over the tunnel is ~10-15 min.
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(WATCHDOG_SECS):
+            print(json.dumps({
+                "metric": "semantickitti_scale_per_scan_inference_latency",
+                "error": f"bench did not complete within {WATCHDOG_SECS}s — "
+                         "TPU tunnel unreachable or compile stuck",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     # persistent compile cache: repeat runs (and the driver) skip the slow
@@ -210,6 +230,7 @@ def main():
             }
         )
     )
+    done.set()
 
 
 if __name__ == "__main__":
