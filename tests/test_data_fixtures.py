@@ -320,3 +320,38 @@ def test_synth_kitti_real_format_roundtrip(tmp_path):
         max_nr_points_per_cloud=1000, shuffle=False,
     )
     assert ds_capped.get_cloud(0).V.shape == (1000, 3)
+
+
+def test_synth_scannet_both_reader_formats(tmp_path):
+    """write_scannet_dir emits the real ScanNet layout: .npz scenes (train)
+    and binary labels.ply meshes (test); both readers + NYU40 remap agree on
+    the same underlying scene."""
+    from lattice_net_tpu.data.scannet import ScanNet, read_ply_xyz_rgb_label
+    from lattice_net_tpu.data.synth_scannet import (
+        _synth_to_nyu40,
+        write_labels_ply,
+        write_scannet_dir,
+    )
+
+    write_scannet_dir(tmp_path, nr_train=2, nr_test=1, n_points=2048)
+    train = ScanNet(str(tmp_path), mode="train", max_nr_points_per_cloud=-1, shuffle=False)
+    test = ScanNet(str(tmp_path), mode="test", max_nr_points_per_cloud=-1, shuffle=False)
+    assert (len(train), len(test)) == (2, 1)
+    c = test.get_cloud(0)  # exercises the binary PLY reader
+    assert c.V.shape == (2048, 3) and c.C.shape == (2048, 3)
+    assert c.L_gt.min() >= 0 and c.L_gt.max() <= 20
+
+    # PLY writer/reader roundtrip is exact
+    rng = np.random.default_rng(0)
+    V = rng.normal(size=(100, 3)).astype(np.float32)
+    C = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    L = rng.integers(0, 41, 100).astype(np.int64)
+    p = tmp_path / "rt" / "rt_vh_clean_2.labels.ply"
+    write_labels_ply(p, V, C, L)
+    V2, C2, L2 = read_ply_xyz_rgb_label(p)
+    np.testing.assert_array_equal(V2, V)
+    np.testing.assert_array_equal(L2, L)
+    np.testing.assert_allclose(C2, np.clip(C * 255, 0, 255).astype(np.uint8) / 255.0)
+
+    # ceiling maps to unannotated; wall/floor keep their benchmark ids
+    assert (_synth_to_nyu40(np.array([0, 1, 2])) == [22, 1, 2]).all()
