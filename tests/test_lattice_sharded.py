@@ -375,3 +375,40 @@ def test_hybrid_uneven_cloud_sizes():
     )
     assert np.isfinite(float(loss0))
     np.testing.assert_allclose(float(loss0), ref_global, rtol=1e-5)
+
+
+def test_sharded_step_rejects_mesh_mismatch():
+    """A batch with more stripes/clouds than the mesh must raise, not
+    silently drop work (shard_map hands each device a multi-row block and
+    the per-device body indexes [0])."""
+    from lattice_net_tpu.parallel.data_parallel import TrainState
+    from lattice_net_tpu.parallel.lattice_sharded import (
+        make_hybrid_lnn_train_step,
+        make_sharded_lnn_train_step,
+    )
+    from lattice_net_tpu.train import make_optimizer
+
+    model, mp = _small_model()
+    tx = make_optimizer(1e-2)
+    caps_local = (1024, 512, 256)
+    mesh_sp = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    step = make_sharded_lnn_train_step(
+        mesh_sp, model, tx, 0.2, 2, caps_local, halo_budget=64, ignore_index=0
+    )
+    pos8 = jnp.zeros((8, 64, 3))  # 8 stripes on a 4-device axis
+    dummy = jnp.zeros((8, 64, 1)), jnp.zeros((8, 64), jnp.int32), jnp.ones((8, 64), bool)
+    state = TrainState.create({"w": jnp.zeros(3)}, tx)
+    with pytest.raises(ValueError, match="stripes"):
+        step(state, pos8, *dummy, jnp.zeros(5))
+
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    hstep = make_hybrid_lnn_train_step(
+        mesh2, model, tx, 0.2, 2, caps_local, halo_budget=64, ignore_index=0
+    )
+    pos_b = jnp.zeros((4, 4, 64, 3))  # batch of 4 clouds on a dp=2 mesh
+    dummy_b = (
+        jnp.zeros((4, 4, 64, 1)), jnp.zeros((4, 4, 64), jnp.int32),
+        jnp.ones((4, 4, 64), bool),
+    )
+    with pytest.raises(ValueError, match="must equal the mesh"):
+        hstep(state, pos_b, *dummy_b, jnp.zeros((4, 5)))
