@@ -89,6 +89,7 @@ def _small_model():
     return LNN(mp), mp
 
 
+@pytest.mark.slow
 def test_sharded_full_model_matches_single_device():
     # VERDICT r1 #3: the COMPLETE LNN forward (distribute/PointNet,
     # coarsen/finefy, masked GN with psum-global statistics, deformable head)
@@ -168,6 +169,7 @@ def test_sharded_full_model_matches_single_device():
     assert class_agree > 0.995, f"class agreement {class_agree:.4f}"
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_descends():
     from lattice_net_tpu.parallel.data_parallel import TrainState
     from lattice_net_tpu.parallel.lattice_sharded import (
@@ -218,6 +220,7 @@ def test_sharded_train_step_runs_and_descends():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_hybrid_dp_sp_matches_per_cloud_sharded():
     """Hybrid DP x lattice-sharding over a (2, 4) mesh: the global loss must
     equal the valid-count-weighted mean of the two clouds' sp-only sharded
@@ -305,6 +308,7 @@ def test_hybrid_dp_sp_matches_per_cloud_sharded():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_hybrid_uneven_cloud_sizes():
     """A batch mixing a full-size and a quarter-size cloud shares one static
     (B, n_sp, per, ...) block: the small cloud's trailing stripes are pure

@@ -64,6 +64,7 @@ def test_single_device_step_runs():
     assert float(metrics["nr_verts_mean"]) > 0
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     devices = jax.devices()
     assert len(devices) == 8, "conftest should provide 8 virtual cpu devices"

@@ -228,6 +228,7 @@ def test_html_viewer_roundtrip(tmp_path):
     assert "100 pts" in out2.read_text()
 
 
+@pytest.mark.slow
 def test_teaser_tool_emits_figure_assets(tmp_path):
     """misc/lnn_make_teaser.py (headless rebuild of lnn_make_teaser_img.py)
     writes PLY + HTML GT/prediction/diff assets for each requested cloud."""
