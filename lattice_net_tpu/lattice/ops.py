@@ -524,17 +524,16 @@ def _conv_row_blocks(cq: int, extent: int, c_in: int, itemsize: int) -> int:
     Returns 1 (unchunked) for every ordinary capacity; ScanNet-scale tables
     (reference ``config/lnn_train_scannet.cfg:50``: 5M entries) with wide
     channels would otherwise materialise a 5.2M x 9 x 128 patch (~12 GB bf16)
-    and exhaust HBM.  The block count is rounded up to a divisor of ``cq`` so
-    a plain reshape splits the rows.
+    and exhaust HBM.  ``cq`` need not divide evenly: the chunked path pads
+    the rows to ``nb`` equal blocks (an earlier version searched for a
+    divisor of ``cq``, which degenerated to one-row blocks for capacities
+    with a large prime factor).
     """
-    total = cq * extent * c_in * itemsize
     budget = _conv_patch_budget_bytes()
-    if total <= budget:
+    rows_max = max(1, budget // (extent * c_in * itemsize))
+    if cq <= rows_max:
         return 1
-    nb = -(-total // budget)
-    while cq % nb:
-        nb += 1
-    return nb
+    return -(-cq // rows_max)
 
 
 def _conv_gather_dnums():
@@ -553,7 +552,12 @@ def _conv_fwd_chunked(values, neighbors, weight, same_level, nb, acc):
     cq, k = neighbors.shape
     c_in = values.shape[1]
     extent = k + 1 if same_level else k
-    b = cq // nb
+    b = -(-cq // nb)
+    cq_pad = b * nb
+    if cq_pad != cq:
+        # pad with invalid rows (index == cap -> masked to zero); the padded
+        # output rows are sliced off below
+        neighbors = jnp.pad(neighbors, ((0, cq_pad - cq), (0, 0)), constant_values=cap)
     valid = neighbors < cap
     mono = jnp.maximum(jax.lax.cummax(jnp.where(valid, neighbors, -1), axis=0), 0)
     dnums = _conv_gather_dnums()
@@ -583,9 +587,12 @@ def _conv_fwd_chunked(values, neighbors, weight, same_level, nb, acc):
 
     xs = (mono.reshape(nb, b, k), valid.reshape(nb, b, k))
     if same_level:
-        xs = xs + (values[:cq].reshape(nb, b, c_in),)
+        centers = values[:cq]
+        if cq_pad != cq:
+            centers = jnp.pad(centers, ((0, cq_pad - cq), (0, 0)))
+        xs = xs + (centers.reshape(nb, b, c_in),)
     out = jax.lax.map(block, xs)
-    return out.reshape(cq, weight.shape[1])
+    return out.reshape(cq_pad, weight.shape[1])[:cq]
 
 
 def _conv_fwd_impl(

@@ -223,9 +223,11 @@ def receptive_band_units(model_params, d: int) -> float:
     for i in range(p.nr_downsamples):
         per_block = 2 if i < p.nr_levels_down_with_normal_resnet else 1
         convs_at_level[i] += p.nr_blocks_down_stage[i] * per_block
-        convs_at_level[i + 1] += 1  # coarsen transition reads level i... but
-        # the coarsen conv reads FINE neighbours at level-i spacing; count it
-        # at level i (the 2^l factor below is the reader's spacing)
+        # the coarsen conv reads FINE neighbours (level-i spacing), so level
+        # i would be the tight count; charging it at level i+1 doubles that
+        # transition's contribution — DELIBERATELY conservative (halo points
+        # are cheap, an under-provisioned band is silent wrongness)
+        convs_at_level[i + 1] += 1
     convs_at_level[p.nr_downsamples] += p.nr_blocks_bottleneck  # bottleneck convs
     for i in range(p.nr_downsamples):
         lvl = p.nr_downsamples - 1 - i
@@ -239,10 +241,14 @@ def receptive_band_units(model_params, d: int) -> float:
 def _halo_concat(pos, val, extra, mask, bounds, sigma, band, halo_budget, axis, n_shards):
     """Exchange boundary-band rows with both stripe neighbours over ICI.
 
-    Returns (all_pos, all_val, all_extra, all_mask): own rows first, then the
-    left neighbour's right band, then the right neighbour's left band.
-    ``extra`` carries any per-point payload (e.g. targets as float) that ghost
-    points need locally.
+    Returns ((all_pos, all_val, all_extra, all_mask), halo_overflow): own
+    rows first, then the left neighbour's right band, then the right
+    neighbour's left band.  ``extra`` carries any per-point payload (e.g.
+    targets as float) that ghost points need locally.  ``halo_overflow``
+    counts band points that did NOT fit the static ``halo_budget`` buffer
+    (this shard's sends, both directions): any nonzero means a neighbour
+    built boundary vertices from incomplete splat sets — treat it exactly
+    like table overflow, never ignore it.
     """
     i = jax.lax.axis_index(axis)
     s = elev0(pos, sigma)
@@ -252,8 +258,13 @@ def _halo_concat(pos, val, extra, mask, bounds, sigma, band, halo_budget, axis, 
     feat = jnp.concatenate(
         [pos, val, extra, mask[:, None].astype(pos.dtype)], axis=-1
     )
-    right_rows, _ = _pack_rows(feat, mask & (s >= hi - band), halo_budget)
-    left_rows, _ = _pack_rows(feat, mask & (s < lo + band), halo_budget)
+    sel_right = mask & (s >= hi - band)
+    sel_left = mask & (s < lo + band)
+    right_rows, _ = _pack_rows(feat, sel_right, halo_budget)
+    left_rows, _ = _pack_rows(feat, sel_left, halo_budget)
+    halo_overflow = jnp.maximum(jnp.sum(sel_right) - halo_budget, 0) + jnp.maximum(
+        jnp.sum(sel_left) - halo_budget, 0
+    )
 
     def shift(rows, up):
         perm = [
@@ -274,7 +285,46 @@ def _halo_concat(pos, val, extra, mask, bounds, sigma, band, halo_budget, axis, 
         all_feat[:, d : d + cv],
         all_feat[:, d + cv : -1],
         all_feat[:, -1] > 0.5,
-    )
+    ), halo_overflow
+
+
+def _check_caps_distinct(caps_local) -> tuple:
+    """Per-level capacities must be DISTINCT: the distributed-GroupNorm
+    ownership masks are keyed by table capacity (``nn.modules``), so a
+    duplicate (e.g. ``default_capacity_schedule``'s 256 floor reached twice)
+    would silently normalise one level with another level's mask."""
+    caps_local = tuple(int(c) for c in caps_local)
+    if len(set(caps_local)) != len(caps_local):
+        raise ValueError(
+            f"sharded mode needs distinct per-level capacities, got {caps_local}"
+        )
+    return caps_local
+
+
+def _check_stripe_widths(bounds, band: float, n_shards: int, check_band: bool) -> None:
+    """Single-hop halo soundness: every INTERIOR stripe must be at least as
+    wide (in elev0 units) as the receptive band, or ghost points two stripes
+    away would be needed but never received — results would be silently
+    approximate.  Edge stripes extend to +-inf and padding-only stripes own
+    nothing, so only widths between two finite boundaries matter.  Pass
+    ``check_band=False`` to accept the approximation knowingly (e.g.
+    mechanics tests)."""
+    if not check_band:
+        return
+    b = np.asarray(bounds, np.float64).reshape(-1, np.shape(bounds)[-1])
+    for row in b:
+        finite = row[np.isfinite(row)]
+        if finite.size < 2:
+            continue
+        widths = np.diff(finite)
+        if widths.size and float(widths.min()) < band:
+            raise ValueError(
+                f"narrowest interior stripe spans {float(widths.min()):.1f} elev0 "
+                f"units < receptive band {band:.1f}: the single-hop halo cannot "
+                f"cover the receptive field over {n_shards} shards — use fewer "
+                "shards / a coarser sigma, or pass check_band=False to accept "
+                "approximate boundaries"
+            )
 
 
 def make_sharded_lnn_forward(
@@ -285,6 +335,7 @@ def make_sharded_lnn_forward(
     caps_local,
     halo_budget: int,
     axis: str = "sp",
+    check_band: bool = True,
 ):
     """Jitted FULL-LNN forward with the vertex table sharded over ``axis``.
 
@@ -301,42 +352,17 @@ def make_sharded_lnn_forward(
     overflow_s)`` over arrays stacked on a leading n_shards axis (see
     ``shard_points_host``).
     """
-    from lattice_net_tpu.lattice.structure import build_hierarchy
-    from lattice_net_tpu.nn import modules as lnm
-
-    caps_local = tuple(int(c) for c in caps_local)
-    if len(set(caps_local)) != len(caps_local):
-        raise ValueError(
-            f"sharded mode needs distinct per-level capacities, got {caps_local}"
-        )
+    caps_local = _check_caps_distinct(caps_local)
     n_shards = mesh.shape[axis]
     mp = model.params
 
     def per_device(params, pos, val, mask, bounds):
-        d = pos.shape[-1]
-        band = receptive_band_units(mp, d)
-        i = jax.lax.axis_index(axis)
-        all_pos, all_val, _, all_mask = _halo_concat(
-            pos, val, jnp.zeros((pos.shape[0], 0), pos.dtype), mask, bounds,
-            sigma, band, halo_budget, axis, n_shards,
+        logp, h, halo_ovf = _halo_build_apply(
+            model, params, pos, val, mask, bounds, sigma, nr_levels,
+            caps_local, halo_budget, axis, n_shards,
         )
-        h = build_hierarchy(
-            all_pos, sigma, nr_levels, caps_local, point_mask=all_mask
-        )
-        # per-level ownership: a vertex belongs to the stripe containing its
-        # first elevated coordinate (level-l keys sit at 2^l spacing in
-        # level-0 units); every vertex lands in exactly one stripe globally
-        lo, hi = bounds[i], bounds[i + 1]
-        own_masks = {}
-        for l, s_l in enumerate(h.structures):
-            coord = s_l.keys[:, 0].astype(jnp.float32) * float(1 << l)
-            own_masks[s_l.capacity] = (
-                (coord >= lo) & (coord < hi) & s_l.occupancy_mask()
-            )
-        with lnm.norm_stats_distributed(axis, own_masks):
-            logp, _ = model.apply(params, h, all_pos, all_val)
         n_own = pos.shape[0]
-        overflow = sum(s.nr_overflow for s in h.structures)
+        overflow = sum(s.nr_overflow for s in h.structures) + halo_ovf
         return logp[:n_own], h.structures[0].nr_verts, overflow
 
     @functools.partial(
@@ -351,6 +377,7 @@ def make_sharded_lnn_forward(
         return logp[None], nv[None], ov[None]
 
     jrun = jax.jit(run)
+    band = receptive_band_units(mp, 3)
 
     def checked(params, pos_s, val_s, mask_s, bounds):
         if pos_s.shape[0] != n_shards:
@@ -359,38 +386,35 @@ def make_sharded_lnn_forward(
                 f"{axis} axis is {n_shards}; a larger block would silently "
                 f"drop stripes (the per-device body indexes [0])"
             )
+        _check_stripe_widths(bounds, band, n_shards, check_band)
         return jrun(params, pos_s, val_s, mask_s, bounds)
 
     return checked
 
 
-def _sharded_loss_terms(
-    model, params, pos, val, tgt, mask, bounds, sigma, nr_levels, caps_local,
-    halo_budget, axis, n_shards, ignore_index,
+def _halo_build_apply(
+    model, params, pos, val, mask, bounds, sigma, nr_levels, caps_local,
+    halo_budget, axis, n_shards,
 ):
-    """One stripe-shard's (loss_sum, valid_count) for the global masked loss.
-
-    Runs inside ``shard_map`` on a single shard's block: halo exchange over
-    ``axis``, local hierarchy build, U-Net forward with psum-global GroupNorm
-    moments over OWNED vertices, loss over own valid points.  The per-shard
-    loss is weighted by the shard's valid count so a psum over the mesh gives
-    exactly the global per-point mean for the NLL half; the Lovász half
-    becomes a per-SHARD Lovász average — the same decomposition the DP
-    trainer applies per cloud (make_loss_fn vmaps Lovász per cloud and means
-    over the batch)."""
+    """The shared per-shard body: halo exchange over ``axis``, local
+    hierarchy build over own + ghost points, U-Net forward with psum-global
+    GroupNorm moments over OWNED vertices.  Returns (logp over own+ghost
+    rows, hierarchy, halo_overflow) — callers slice logp[:n_own] and must
+    surface ``halo_overflow`` (see ``_halo_concat``)."""
     from lattice_net_tpu.lattice.structure import build_hierarchy
-    from lattice_net_tpu.losses import segmentation_loss
     from lattice_net_tpu.nn import modules as lnm
 
-    mp = model.params
     d = pos.shape[-1]
-    band = receptive_band_units(mp, d)
+    band = receptive_band_units(model.params, d)
     i = jax.lax.axis_index(axis)
-    all_pos, all_val, _, all_mask = _halo_concat(
+    (all_pos, all_val, _, all_mask), halo_ovf = _halo_concat(
         pos, val, jnp.zeros((pos.shape[0], 0), pos.dtype), mask, bounds,
         sigma, band, halo_budget, axis, n_shards,
     )
     h = build_hierarchy(all_pos, sigma, nr_levels, caps_local, point_mask=all_mask)
+    # per-level ownership: a vertex belongs to the stripe containing its
+    # first elevated coordinate (level-l keys sit at 2^l spacing in level-0
+    # units); every vertex lands in exactly one stripe globally
     lo, hi = bounds[i], bounds[i + 1]
     own_masks = {}
     for l, s_l in enumerate(h.structures):
@@ -398,11 +422,33 @@ def _sharded_loss_terms(
         own_masks[s_l.capacity] = (coord >= lo) & (coord < hi) & s_l.occupancy_mask()
     with lnm.norm_stats_distributed(axis, own_masks):
         logp, _ = model.apply(params, h, all_pos, all_val)
+    return logp, h, halo_ovf
+
+
+def _sharded_loss_terms(
+    model, params, pos, val, tgt, mask, bounds, sigma, nr_levels, caps_local,
+    halo_budget, axis, n_shards, ignore_index,
+):
+    """One stripe-shard's (loss_sum, valid_count, halo_overflow) for the
+    global masked loss.
+
+    The per-shard loss is weighted by the shard's valid count so a psum over
+    the mesh gives exactly the global per-point mean for the NLL half; the
+    Lovász half becomes a per-SHARD Lovász average — the same decomposition
+    the DP trainer applies per cloud (make_loss_fn vmaps Lovász per cloud
+    and means over the batch)."""
+    from lattice_net_tpu.losses import segmentation_loss
+
+    logp, h, halo_ovf = _halo_build_apply(
+        model, params, pos, val, mask, bounds, sigma, nr_levels, caps_local,
+        halo_budget, axis, n_shards,
+    )
     n_own = pos.shape[0]
     own_valid = mask & (tgt != ignore_index)
     cnt = jnp.sum(own_valid.astype(jnp.float32))
     loss_mean = segmentation_loss(logp[:n_own], tgt, ignore_index, None, mask)
-    return loss_mean * cnt, cnt
+    overflow = sum(s.nr_overflow for s in h.structures) + halo_ovf
+    return loss_mean * cnt, cnt, overflow
 
 
 def make_sharded_lnn_train_step(
@@ -415,6 +461,7 @@ def make_sharded_lnn_train_step(
     halo_budget: int,
     ignore_index: int = -1,
     axis: str = "sp",
+    check_band: bool = True,
 ):
     """Jitted sharded TRAIN step: one cloud striped over the mesh, replicated
     params, gradients of the global masked loss psum-reduced over ICI.
@@ -429,7 +476,7 @@ def make_sharded_lnn_train_step(
 
     from lattice_net_tpu.parallel.data_parallel import TrainState
 
-    caps_local = tuple(int(c) for c in caps_local)
+    caps_local = _check_caps_distinct(caps_local)
     n_shards = mesh.shape[axis]
 
     def shard_loss(params, pos, val, tgt, mask, bounds):
@@ -442,14 +489,31 @@ def make_sharded_lnn_train_step(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=P(),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     def global_loss(params, pos_s, val_s, tgt_s, mask_s, bounds):
-        lsum, cnt = shard_loss(params, pos_s[0], val_s[0], tgt_s[0], mask_s[0], bounds)
+        lsum, cnt, ovf = shard_loss(
+            params, pos_s[0], val_s[0], tgt_s[0], mask_s[0], bounds
+        )
         lsum = jax.lax.psum(lsum, axis)
         cnt = jax.lax.psum(cnt, axis)
-        return lsum / jnp.maximum(cnt, 1.0)
+        ovf = jax.lax.psum(ovf, axis)
+        return lsum / jnp.maximum(cnt, 1.0), ovf
+
+    band = receptive_band_units(model.params, 3)
+
+    @jax.jit
+    def _jstep(state, pos_s, val_s, tgt_s, mask_s, bounds):
+        (loss, ovf), grads = jax.value_and_grad(global_loss, has_aux=True)(
+            state.params, pos_s, val_s, tgt_s, mask_s, bounds
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "overflow": ovf},
+        )
 
     def step(state: TrainState, pos_s, val_s, tgt_s, mask_s, bounds):
         if pos_s.shape[0] != n_shards:
@@ -458,17 +522,10 @@ def make_sharded_lnn_train_step(
                 f"{axis} axis is {n_shards}; a larger block would silently "
                 f"drop stripes (the per-device body indexes [0])"
             )
-        loss, grads = jax.value_and_grad(global_loss)(
-            state.params, pos_s, val_s, tgt_s, mask_s, bounds
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
-            loss,
-        )
+        _check_stripe_widths(bounds, band, n_shards, check_band)
+        return _jstep(state, pos_s, val_s, tgt_s, mask_s, bounds)
 
-    return jax.jit(step)
+    return step
 
 
 # ---------------------------------------------------------------------------
@@ -519,6 +576,7 @@ def make_hybrid_lnn_train_step(
     ignore_index: int = -1,
     dp_axis: str = "dp",
     sp_axis: str = "sp",
+    check_band: bool = True,
 ):
     """Jitted hybrid train step over a 2-axis mesh: a batch of clouds is
     data-parallel over ``dp_axis`` while each cloud's vertex table is striped
@@ -537,7 +595,7 @@ def make_hybrid_lnn_train_step(
 
     from lattice_net_tpu.parallel.data_parallel import TrainState
 
-    caps_local = tuple(int(c) for c in caps_local)
+    caps_local = _check_caps_distinct(caps_local)
     n_sp = mesh.shape[sp_axis]
 
     @functools.partial(
@@ -548,20 +606,34 @@ def make_hybrid_lnn_train_step(
             P(dp_axis, sp_axis), P(dp_axis, sp_axis), P(dp_axis, sp_axis),
             P(dp_axis, sp_axis), P(dp_axis),
         ),
-        out_specs=P(),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     def global_loss(params, pos_s, val_s, tgt_s, mask_s, bounds):
-        lsum, cnt = _sharded_loss_terms(
+        lsum, cnt, ovf = _sharded_loss_terms(
             model, params, pos_s[0, 0], val_s[0, 0], tgt_s[0, 0], mask_s[0, 0],
             bounds[0], sigma, nr_levels, caps_local, halo_budget, sp_axis,
             n_sp, ignore_index,
         )
         lsum = jax.lax.psum(lsum, (dp_axis, sp_axis))
         cnt = jax.lax.psum(cnt, (dp_axis, sp_axis))
-        return lsum / jnp.maximum(cnt, 1.0)
+        ovf = jax.lax.psum(ovf, (dp_axis, sp_axis))
+        return lsum / jnp.maximum(cnt, 1.0), ovf
 
     n_dp = mesh.shape[dp_axis]
+    band = receptive_band_units(model.params, 3)
+
+    @jax.jit
+    def _jstep(state, pos_s, val_s, tgt_s, mask_s, bounds):
+        (loss, ovf), grads = jax.value_and_grad(global_loss, has_aux=True)(
+            state.params, pos_s, val_s, tgt_s, mask_s, bounds
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "overflow": ovf},
+        )
 
     def step(state, pos_s, val_s, tgt_s, mask_s, bounds):
         # shard_map hands each device a (B/n_dp, n_sp/n_sp, ...) block and the
@@ -573,14 +645,7 @@ def make_hybrid_lnn_train_step(
                 f"({dp_axis}={n_dp}, {sp_axis}={n_sp}); split the batch into "
                 f"mesh-sized steps"
             )
-        loss, grads = jax.value_and_grad(global_loss)(
-            state.params, pos_s, val_s, tgt_s, mask_s, bounds
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
-            loss,
-        )
+        _check_stripe_widths(bounds, band, n_sp, check_band)
+        return _jstep(state, pos_s, val_s, tgt_s, mask_s, bounds)
 
-    return jax.jit(step)
+    return step

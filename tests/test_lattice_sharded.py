@@ -209,12 +209,13 @@ def test_sharded_train_step_runs_and_descends():
 
     step = make_sharded_lnn_train_step(
         mesh, model, tx, sigma, 2, caps_local, halo_budget=pos_s.shape[1],
-        ignore_index=0,
+        ignore_index=0, check_band=False,  # dense toy cloud: stripes < band
     )
     losses = []
     for _ in range(4):
-        state, loss = step(state, pos_s, val_s, tgt_s, mask_s, bounds)
-        losses.append(float(loss))
+        state, metrics = step(state, pos_s, val_s, tgt_s, mask_s, bounds)
+        assert int(metrics["overflow"]) == 0
+        losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses), losses
     assert int(state.step) == 4
     assert losses[-1] < losses[0], losses
@@ -274,7 +275,8 @@ def test_hybrid_dp_sp_matches_per_cloud_sharded():
     # reference: per-cloud sp-only sharded losses with the same stripes
     ref_losses, counts = [], []
     sp_step = make_sharded_lnn_train_step(
-        mesh_sp, model, tx, sigma, 2, caps_local, halo_budget=per, ignore_index=0
+        mesh_sp, model, tx, sigma, 2, caps_local, halo_budget=per,
+        ignore_index=0, check_band=False,
     )
     for b, (positions, values, target) in enumerate(clouds):
         pos_s, val_s, mask_s, ids_s, bounds = shard_points_host(
@@ -285,24 +287,25 @@ def test_hybrid_dp_sp_matches_per_cloud_sharded():
         tgt_s = jnp.asarray(
             np.where(idn >= 0, target[np.clip(idn, 0, n - 1)], 0).astype(np.int32)
         )
-        _, loss = sp_step(
+        _, m = sp_step(
             TrainState.create(params, tx), pos_s, val_s, tgt_s, mask_s, bounds
         )
-        ref_losses.append(float(loss))
+        ref_losses.append(float(m["loss"]))
         counts.append(int((target != 0).sum()))
     ref_global = float(np.average(ref_losses, weights=counts))
 
     step = make_hybrid_lnn_train_step(
-        mesh2, model, tx, sigma, 2, caps_local, halo_budget=per, ignore_index=0
+        mesh2, model, tx, sigma, 2, caps_local, halo_budget=per,
+        ignore_index=0, check_band=False,
     )
     state = TrainState.create(params, tx)
-    state, loss0 = step(state, pos_b, val_b, tgt_b, mask_b, bounds_b)
-    np.testing.assert_allclose(float(loss0), ref_global, rtol=1e-5)
+    state, m0 = step(state, pos_b, val_b, tgt_b, mask_b, bounds_b)
+    np.testing.assert_allclose(float(m0["loss"]), ref_global, rtol=1e-5)
 
-    losses = [float(loss0)]
+    losses = [float(m0["loss"])]
     for _ in range(3):
-        state, loss = step(state, pos_b, val_b, tgt_b, mask_b, bounds_b)
-        losses.append(float(loss))
+        state, m = step(state, pos_b, val_b, tgt_b, mask_b, bounds_b)
+        losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses), losses
     assert int(state.step) == 4
     assert losses[-1] < losses[0], losses
@@ -353,7 +356,8 @@ def test_hybrid_uneven_cloud_sizes():
     tx = make_optimizer(1e-2)
 
     sp_step = make_sharded_lnn_train_step(
-        mesh_sp, model, tx, sigma, 2, caps_local, halo_budget=per, ignore_index=0
+        mesh_sp, model, tx, sigma, 2, caps_local, halo_budget=per,
+        ignore_index=0, check_band=False,
     )
     ref_losses, counts = [], []
     for positions, values, target in clouds:
@@ -364,21 +368,22 @@ def test_hybrid_uneven_cloud_sizes():
         tgt_s = jnp.asarray(
             np.where(idn >= 0, target[np.clip(idn, 0, len(target) - 1)], 0).astype(np.int32)
         )
-        _, loss = sp_step(
+        _, m = sp_step(
             TrainState.create(params, tx), pos_s, val_s, tgt_s, mask_s, bounds
         )
-        ref_losses.append(float(loss))
+        ref_losses.append(float(m["loss"]))
         counts.append(int((target != 0).sum()))
     ref_global = float(np.average(ref_losses, weights=counts))
 
     step = make_hybrid_lnn_train_step(
-        mesh2, model, tx, sigma, 2, caps_local, halo_budget=per, ignore_index=0
+        mesh2, model, tx, sigma, 2, caps_local, halo_budget=per,
+        ignore_index=0, check_band=False,
     )
-    _, loss0 = step(
+    _, m0 = step(
         TrainState.create(params, tx), pos_b, val_b, tgt_b, mask_b, bounds_b
     )
-    assert np.isfinite(float(loss0))
-    np.testing.assert_allclose(float(loss0), ref_global, rtol=1e-5)
+    assert np.isfinite(float(m0["loss"]))
+    np.testing.assert_allclose(float(m0["loss"]), ref_global, rtol=1e-5)
 
 
 def test_sharded_step_rejects_mesh_mismatch():

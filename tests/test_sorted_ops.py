@@ -332,3 +332,26 @@ def test_conv_flip_vjp_matches_ad(hier):
     gv_r, gw_r = jax.grad(loss_ref_y, argnums=(0, 1))(vc, wx)
     np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-5)
+
+
+def test_conv_chunked_nondivisible_rows(monkeypatch):
+    # capacities with a large prime factor must not degenerate to one-row
+    # blocks: the chunked path pads to equal blocks and slices the output
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    cap, cq, k, c_in, c_out = 512, 509, 8, 4, 3  # cq prime
+    values = jnp.asarray(rng.normal(size=(cap, c_in)).astype(np.float32))
+    neighbors = jnp.asarray(
+        np.sort(rng.integers(0, cap + 1, (cq, k)).astype(np.int32), axis=0)
+    )
+    w = jnp.asarray(rng.normal(size=(k * c_in, c_out)).astype(np.float32) * 0.1)
+
+    ref = ops.conv_im2row(values, neighbors, w, same_level=False)
+    monkeypatch.setenv("LNT_CONV_CHUNK_BYTES", str(cq * k * c_in * 4 // 7))
+    nb = ops._conv_row_blocks(cq, k, c_in, 4)
+    assert 1 < nb < 32, nb  # bounded block count, not cq one-row blocks
+    out = ops.conv_im2row(values, neighbors, w, same_level=False)
+    assert out.shape == (cq, c_out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
