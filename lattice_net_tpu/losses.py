@@ -9,6 +9,8 @@ reference skips absent classes with a data-dependent ``continue`` —
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +34,57 @@ def _lovasz_grad(gt_sorted: jnp.ndarray, valid_sorted: jnp.ndarray) -> jnp.ndarr
     )
 
 
+def _lovasz_from_errors(errors, gt, validf, w):
+    """Loss given per-class errors (C, N) already sentinel-masked: one
+    batched descending sort, Lovász-grad dot, class-present mean."""
+    neg_s, gt_s, val_s = jax.lax.sort(
+        (-errors, gt, jnp.broadcast_to(validf[None, :], gt.shape)), num_keys=1
+    )
+    err_s = -neg_s
+    grad = _lovasz_grad(gt_s, val_s)
+    losses = jnp.sum(jnp.maximum(err_s, 0.0) * val_s * grad, axis=-1)  # (C,)
+    return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+@jax.custom_vjp
+def _lovasz_from_errors_sortvjp(errors, gt, validf, w):
+    return _lovasz_from_errors(errors, gt, validf, w)
+
+
+def _lovasz_sortvjp_fwd(errors, gt, validf, w):
+    c, n = errors.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (c, n), 1)
+    neg_s, gt_s, val_s, perm = jax.lax.sort(
+        (-errors, gt, jnp.broadcast_to(validf[None, :], gt.shape), iota), num_keys=1
+    )
+    err_s = -neg_s
+    grad = _lovasz_grad(gt_s, val_s)
+    losses = jnp.sum(jnp.maximum(err_s, 0.0) * val_s * grad, axis=-1)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    loss = jnp.sum(losses * w) / wsum
+    return loss, (err_s, val_s, grad, perm, w, wsum)
+
+
+def _lovasz_sortvjp_bwd(res, g_out):
+    err_s, val_s, grad, perm, w, wsum = res
+    # d loss / d err_s, replicating jnp.maximum(err_s, 0.0)'s tie convention
+    # (cotangent splits evenly at err_s == 0) so grads match plain AD exactly
+    relu_f = jnp.where(err_s > 0, 1.0, jnp.where(err_s < 0, 0.0, 0.5))
+    gs = (g_out / wsum) * w[:, None] * relu_f * val_s * grad  # (C, N)
+    # unsort with a SORT, not a scatter: perm is a per-row permutation, so
+    # sorting (perm, gs) by perm restores original point order.  AD's sort
+    # transpose routes the cotangent through a (C, N) scatter instead, which
+    # TPU lowers poorly for per-row permutations.
+    _, g_err = jax.lax.sort((perm, gs), num_keys=1)
+    # the key is -errors and err_s = -neg_s: the two negations cancel, so
+    # d loss/d errors is +g_err.  gt/validf/w are functions of the integer
+    # targets only (no grad path upstream), so zero cotangents are exact.
+    return (g_err, jnp.zeros_like(g_err), jnp.zeros_like(g_err[0]), jnp.zeros_like(w))
+
+
+_lovasz_from_errors_sortvjp.defvjp(_lovasz_sortvjp_fwd, _lovasz_sortvjp_bwd)
+
+
 def lovasz_softmax(
     log_probs: jnp.ndarray,
     targets: jnp.ndarray,
@@ -49,6 +102,11 @@ def lovasz_softmax(
     gt/valid along as payload operands — the earlier per-class
     argsort-then-gather formulation dispatched 2 batched (C, N) gathers per
     class and dominated the whole train step at KITTI scale.
+
+    ``LNT_LOVASZ_SORTVJP=1`` (opt-in pending an on-chip A/B) swaps the
+    backward's (C, N) permutation scatter — AD's transpose of the sort —
+    for a second (C, N) 2-operand sort; gradients are identical (tested to
+    1e-6 in ``tests/test_losses.py``).
     """
     n, nr_classes = log_probs.shape
     probs = jnp.exp(log_probs)
@@ -62,16 +120,12 @@ def lovasz_softmax(
     errors = jnp.abs(gt - probs.T)  # (C, N)
     # ignored points must not influence the sort: push them to the end
     errors = jnp.where(valid[None, :], errors, -1.0)
-    neg_s, gt_s, val_s = jax.lax.sort(
-        (-errors, gt, jnp.broadcast_to(validf[None, :], gt.shape)), num_keys=1
-    )
-    err_s = -neg_s
-    grad = _lovasz_grad(gt_s, val_s)
-    losses = jnp.sum(jnp.maximum(err_s, 0.0) * val_s * grad, axis=-1)  # (C,)
     present = jnp.sum(gt, axis=-1) > 0
     is_ignored = classes == ignore_index
     w = present.astype(probs.dtype) * (1.0 - is_ignored.astype(probs.dtype))
-    return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+    if os.environ.get("LNT_LOVASZ_SORTVJP", "0") == "1":
+        return _lovasz_from_errors_sortvjp(errors, gt, validf, w)
+    return _lovasz_from_errors(errors, gt, validf, w)
 
 
 def nll_loss(
@@ -87,7 +141,11 @@ def nll_loss(
     if point_mask is not None:
         valid = valid & point_mask
     t = jnp.clip(targets, 0, nr_classes - 1)
-    picked = jnp.take_along_axis(log_probs, t[:, None], axis=1)[:, 0]
+    # one-hot contraction instead of take_along_axis: bit-exact (multiplies
+    # by exactly 1.0/0.0 and adds zeros) but its backward is a dense mask
+    # multiply instead of a (N, C) scatter — TPU scatters serialize
+    one_hot = (t[:, None] == jnp.arange(nr_classes)[None, :]).astype(log_probs.dtype)
+    picked = jnp.sum(log_probs * one_hot, axis=-1)
     w = jnp.ones((n,), log_probs.dtype)
     if class_weights is not None:
         w = jnp.take(class_weights, t)

@@ -97,3 +97,43 @@ def test_dice_bounds(rng):
     t = rng.integers(0, 4, size=60)
     d = float(losses.generalized_dice_loss(jnp.asarray(lp), jnp.asarray(t)))
     assert 0.0 <= d <= 1.0
+
+
+def test_lovasz_sortvjp_grads_match_ad(rng, monkeypatch):
+    # the opt-in sort-based VJP (LNT_LOVASZ_SORTVJP=1) must produce the SAME
+    # gradient as plain AD through lax.sort (both treat the permutation as
+    # constant); exercises ties (duplicated rows) and ignored/masked points
+    import jax
+
+    n, c = 400, 5
+    lp = _log_probs(rng, n, c)
+    lp[50:60] = lp[40:50]  # exact duplicate errors -> sort ties
+    t = rng.integers(0, c, size=n).astype(np.int32)
+    mask = np.ones(n, bool)
+    mask[370:] = False
+
+    def f(x):
+        return losses.lovasz_softmax(
+            jnp.asarray(x), jnp.asarray(t), ignore_index=0,
+            point_mask=jnp.asarray(mask),
+        )
+
+    monkeypatch.delenv("LNT_LOVASZ_SORTVJP", raising=False)
+    l_ad, g_ad = jax.value_and_grad(f)(jnp.asarray(lp))
+    monkeypatch.setenv("LNT_LOVASZ_SORTVJP", "1")
+    l_sv, g_sv = jax.value_and_grad(f)(jnp.asarray(lp))
+    np.testing.assert_allclose(float(l_ad), float(l_sv), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_sv), rtol=1e-6, atol=1e-8)
+    assert float(jnp.abs(g_sv).sum()) > 0  # not trivially zero
+
+
+def test_nll_onehot_bit_exact(rng):
+    # the one-hot contraction must equal take_along_axis BIT-exactly
+    n, c = 300, 7
+    lp = _log_probs(rng, n, c)
+    t = rng.integers(0, c, size=n).astype(np.int32)
+    got = losses.nll_loss(jnp.asarray(lp), jnp.asarray(t), ignore_index=2)
+    picked = np.take_along_axis(lp, np.clip(t, 0, c - 1)[:, None], axis=1)[:, 0]
+    w = (t != 2).astype(np.float32)
+    want = -(picked * w).sum() / w.sum()
+    np.testing.assert_allclose(float(got), want, rtol=1e-6)
