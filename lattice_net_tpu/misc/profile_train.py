@@ -119,6 +119,16 @@ def main():
     f_grad_nll = jax.jit(lambda p, pos: jax.value_and_grad(loss_nll_only)(p, pos))
     b2 = timeit("B2 value_and_grad, NLL only", f_grad_nll, params, positions)
 
+    # B3: same full loss but the Lovász backward routes through a second
+    # sort instead of AD's permutation scatter (LNT_LOVASZ_SORTVJP=1; the
+    # env var is read at TRACE time, so set it around the jit closure)
+    import os as _os
+
+    _os.environ["LNT_LOVASZ_SORTVJP"] = "1"
+    f_grad_sv = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos))
+    b3 = timeit("B3 value_and_grad, sort-unsort Lovász VJP", f_grad_sv, params, positions)
+    _os.environ.pop("LNT_LOVASZ_SORTVJP", None)
+
     # C: grad with prebuilt hierarchy (build outside AD, same program builds
     # the hierarchy first, then differentiates only the network)
     def c_fn(p, pos):
@@ -145,6 +155,7 @@ def main():
     print(f"AD-of-build overhead (B - C): {b - c:8.3f} ms")
     print(f"Lovász forward (A - A2): {a - a2:8.3f} ms")
     print(f"Lovász fwd+bwd (B - B2): {b - b2:8.3f} ms")
+    print(f"sort-unsort Lovász VJP saves (B - B3): {b - b3:8.3f} ms")
 
 
 if __name__ == "__main__":
