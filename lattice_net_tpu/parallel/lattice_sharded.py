@@ -357,7 +357,7 @@ def make_sharded_lnn_forward(
     mp = model.params
 
     def per_device(params, pos, val, mask, bounds):
-        logp, h, halo_ovf = _halo_build_apply(
+        logp, h, halo_ovf, _ = _halo_build_apply(
             model, params, pos, val, mask, bounds, sigma, nr_levels,
             caps_local, halo_budget, axis, n_shards,
         )
@@ -422,33 +422,70 @@ def _halo_build_apply(
         own_masks[s_l.capacity] = (coord >= lo) & (coord < hi) & s_l.occupancy_mask()
     with lnm.norm_stats_distributed(axis, own_masks):
         logp, _ = model.apply(params, h, all_pos, all_val)
-    return logp, h, halo_ovf
+    own_verts0 = jnp.sum(own_masks[h.structures[0].capacity].astype(jnp.int32))
+    return logp, h, halo_ovf, own_verts0
 
 
 def _sharded_loss_terms(
     model, params, pos, val, tgt, mask, bounds, sigma, nr_levels, caps_local,
     halo_budget, axis, n_shards, ignore_index,
 ):
-    """One stripe-shard's (loss_sum, valid_count, halo_overflow) for the
+    """One stripe-shard's (loss_sum, valid_count, metric_sums) for the
     global masked loss.
 
     The per-shard loss is weighted by the shard's valid count so a psum over
     the mesh gives exactly the global per-point mean for the NLL half; the
     Lovász half becomes a per-SHARD Lovász average — the same decomposition
     the DP trainer applies per cloud (make_loss_fn vmaps Lovász per cloud
-    and means over the batch)."""
+    and means over the batch).  ``metric_sums`` carries additive per-shard
+    counts (overflow, correct/valid, per-class I/U, owned L0 vertices, own
+    points) that a psum over the mesh turns into the same metrics the DP
+    trainer reports."""
     from lattice_net_tpu.losses import segmentation_loss
+    from lattice_net_tpu.train.callbacks import iou_counts_device
 
-    logp, h, halo_ovf = _halo_build_apply(
+    logp, h, halo_ovf, own_verts0 = _halo_build_apply(
         model, params, pos, val, mask, bounds, sigma, nr_levels, caps_local,
         halo_budget, axis, n_shards,
     )
     n_own = pos.shape[0]
     own_valid = mask & (tgt != ignore_index)
     cnt = jnp.sum(own_valid.astype(jnp.float32))
-    loss_mean = segmentation_loss(logp[:n_own], tgt, ignore_index, None, mask)
-    overflow = sum(s.nr_overflow for s in h.structures) + halo_ovf
-    return loss_mean * cnt, cnt, overflow
+    logp_own = logp[:n_own]
+    loss_mean = segmentation_loss(logp_own, tgt, ignore_index, None, mask)
+    nr_classes = logp_own.shape[-1]
+    inter, union = iou_counts_device(logp_own, tgt, nr_classes, ignore_index, mask)
+    metric_sums = {
+        "overflow": sum(s.nr_overflow for s in h.structures) + halo_ovf,
+        "correct": jnp.sum(
+            ((jnp.argmax(logp_own, -1) == tgt) & own_valid).astype(jnp.float32)
+        ),
+        "valid": cnt,
+        "iou_intersection": inter,
+        "iou_union": union,
+        "nr_verts": own_verts0,
+        "nr_points": jnp.sum(mask.astype(jnp.float32)),
+    }
+    return loss_mean * cnt, cnt, metric_sums
+
+
+def _metrics_dict(loss, ms, n_clouds: int):
+    """DP-trainer-compatible metrics from psum'd per-shard metric sums.
+
+    ``overflow`` stays the raw global int (the dryrun/tests assert == 0);
+    the ``*_mean`` keys divide by the cloud count to match the DP trainer's
+    per-batch-slot means (``data_parallel.make_loss_fn``)."""
+    ovf = ms["overflow"]
+    return {
+        "loss": loss,
+        "overflow": ovf,
+        "acc": ms["correct"] / jnp.maximum(ms["valid"], 1.0),
+        "nr_verts_mean": ms["nr_verts"].astype(jnp.float32) / n_clouds,
+        "nr_overflow_mean": ovf.astype(jnp.float32) / n_clouds,
+        "nr_points_mean": ms["nr_points"] / n_clouds,
+        "iou_intersection": ms["iou_intersection"],
+        "iou_union": ms["iou_union"],
+    }
 
 
 def make_sharded_lnn_train_step(
@@ -478,6 +515,7 @@ def make_sharded_lnn_train_step(
 
     caps_local = _check_caps_distinct(caps_local)
     n_shards = mesh.shape[axis]
+    wants_value = isinstance(tx, optax.GradientTransformationExtraArgs)
 
     def shard_loss(params, pos, val, tgt, mask, bounds):
         return _sharded_loss_terms(
@@ -493,26 +531,29 @@ def make_sharded_lnn_train_step(
         check_vma=False,
     )
     def global_loss(params, pos_s, val_s, tgt_s, mask_s, bounds):
-        lsum, cnt, ovf = shard_loss(
+        lsum, cnt, ms = shard_loss(
             params, pos_s[0], val_s[0], tgt_s[0], mask_s[0], bounds
         )
         lsum = jax.lax.psum(lsum, axis)
         cnt = jax.lax.psum(cnt, axis)
-        ovf = jax.lax.psum(ovf, axis)
-        return lsum / jnp.maximum(cnt, 1.0), ovf
+        ms = jax.tree.map(lambda x: jax.lax.psum(x, axis), ms)
+        return lsum / jnp.maximum(cnt, 1.0), ms
 
     band = receptive_band_units(model.params, 3)
 
     @jax.jit
     def _jstep(state, pos_s, val_s, tgt_s, mask_s, bounds):
-        (loss, ovf), grads = jax.value_and_grad(global_loss, has_aux=True)(
+        (loss, ms), grads = jax.value_and_grad(global_loss, has_aux=True)(
             state.params, pos_s, val_s, tgt_s, mask_s, bounds
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # extra-args transforms (reduce_on_plateau) consume the loss at
+        # update time; plain transforms must not receive the kwarg
+        extra = {"value": loss} if wants_value else {}
+        updates, opt_state = tx.update(grads, state.opt_state, state.params, **extra)
         params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
-            {"loss": loss, "overflow": ovf},
+            _metrics_dict(loss, ms, 1),
         )
 
     def step(state: TrainState, pos_s, val_s, tgt_s, mask_s, bounds):
@@ -533,19 +574,25 @@ def make_sharded_lnn_train_step(
 # ---------------------------------------------------------------------------
 
 
-def shard_clouds_host(clouds, sigma, n_shards: int, ignore_index: int = -1):
+def shard_clouds_host(clouds, sigma, n_shards: int, ignore_index: int = -1,
+                      per: int | None = None):
     """Stripe-partition a BATCH of (positions, values, target) clouds.
 
     Every cloud is padded to a common per-shard point count so the batch
     stacks to static ``(B, n_shards, per, ...)`` blocks for the hybrid step
     (DP over clouds x stripes within each cloud).  Pad slots carry
-    ``ignore_index`` targets and False masks.
+    ``ignore_index`` targets and False masks.  Pass ``per`` to pin the
+    per-shard point count across BATCHES too (a jitted train step would
+    otherwise retrace whenever the max cloud size changes).
 
     Returns (pos, val, tgt, mask, ids, bounds) with ids (B, n_shards, per)
     mapping back to each cloud's original point index (-1 = pad) and bounds
     (B, n_shards + 1) per-cloud stripe boundaries.
     """
-    per = max(-(-len(c[0]) // n_shards) for c in clouds)
+    per_min = max(-(-len(c[0]) // n_shards) for c in clouds)
+    per = per_min if per is None else int(per)
+    if per < per_min:
+        raise ValueError(f"per={per} cannot hold the largest cloud over {n_shards} shards")
     ps, vs, ts, ms, ids, bs = [], [], [], [], [], []
     for positions, values, target in clouds:
         pos_s, val_s, mask_s, ids_s, bounds = shard_points_host(
@@ -597,6 +644,7 @@ def make_hybrid_lnn_train_step(
 
     caps_local = _check_caps_distinct(caps_local)
     n_sp = mesh.shape[sp_axis]
+    wants_value = isinstance(tx, optax.GradientTransformationExtraArgs)
 
     @functools.partial(
         shard_map,
@@ -610,29 +658,32 @@ def make_hybrid_lnn_train_step(
         check_vma=False,
     )
     def global_loss(params, pos_s, val_s, tgt_s, mask_s, bounds):
-        lsum, cnt, ovf = _sharded_loss_terms(
+        lsum, cnt, ms = _sharded_loss_terms(
             model, params, pos_s[0, 0], val_s[0, 0], tgt_s[0, 0], mask_s[0, 0],
             bounds[0], sigma, nr_levels, caps_local, halo_budget, sp_axis,
             n_sp, ignore_index,
         )
         lsum = jax.lax.psum(lsum, (dp_axis, sp_axis))
         cnt = jax.lax.psum(cnt, (dp_axis, sp_axis))
-        ovf = jax.lax.psum(ovf, (dp_axis, sp_axis))
-        return lsum / jnp.maximum(cnt, 1.0), ovf
+        ms = jax.tree.map(lambda x: jax.lax.psum(x, (dp_axis, sp_axis)), ms)
+        return lsum / jnp.maximum(cnt, 1.0), ms
 
     n_dp = mesh.shape[dp_axis]
     band = receptive_band_units(model.params, 3)
 
     @jax.jit
     def _jstep(state, pos_s, val_s, tgt_s, mask_s, bounds):
-        (loss, ovf), grads = jax.value_and_grad(global_loss, has_aux=True)(
+        (loss, ms), grads = jax.value_and_grad(global_loss, has_aux=True)(
             state.params, pos_s, val_s, tgt_s, mask_s, bounds
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # extra-args transforms (reduce_on_plateau) consume the loss at
+        # update time; plain transforms must not receive the kwarg
+        extra = {"value": loss} if wants_value else {}
+        updates, opt_state = tx.update(grads, state.opt_state, state.params, **extra)
         params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
-            {"loss": loss, "overflow": ovf},
+            _metrics_dict(loss, ms, n_dp),
         )
 
     def step(state, pos_s, val_s, tgt_s, mask_s, bounds):

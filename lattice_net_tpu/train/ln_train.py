@@ -209,6 +209,8 @@ def run(
     resume: str = "",
     dp: bool = False,
     overrides=(),
+    sp: int = 0,
+    sp_approx: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -262,7 +264,28 @@ def run(
 
     batch_size = max(1, tp.batch_size)
     mesh = None
-    if dp:
+    sp_mesh = None
+    sp_per = 0
+    if sp > 0:
+        # lattice-sharded training: each cloud is striped over `sp` devices
+        # (ghost-point halos + distributed GroupNorm); with --dp the
+        # remaining devices form a 2-axis hybrid mesh batching clouds.
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) < sp:
+            raise ValueError(f"--sp {sp} needs {sp} devices, have {len(devices)}")
+        sp_per = -(-n_points // sp)
+        if dp:
+            n_dp = len(devices) // sp
+            sp_mesh = Mesh(np.asarray(devices[: n_dp * sp]).reshape(n_dp, sp), ("dp", "sp"))
+            batch_size = n_dp
+        else:
+            sp_mesh = Mesh(np.asarray(devices[:sp]), ("sp",))
+            batch_size = 1
+        if getattr(mp, "dropout_last_layer", 0.0):
+            print("--sp: dropout is a no-op in sharded training (no rng threaded)")
+    elif dp:
         from jax.sharding import Mesh
 
         devices = jax.devices()
@@ -272,7 +295,8 @@ def run(
         mesh = Mesh(np.asarray(devices), ("dp",))
     print(
         f"n_points={n_points} batch={batch_size} caps={caps} sigma={sigma} "
-        f"classes={nr_classes} dp={mesh is not None}"
+        f"classes={nr_classes} dp={mesh is not None} "
+        f"sp={dict(zip(sp_mesh.axis_names, sp_mesh.devices.shape)) if sp_mesh else 0}"
     )
 
     model = LNN(mp)
@@ -304,6 +328,33 @@ def run(
         b = make_batch(clouds, mp, n_points, canonical=sigma if canon else None)
         return shard_batch(b, mesh) if mesh is not None else b
 
+    def batch_of_sp(clouds):
+        # stripe each cloud over the sp axis with a shared static per-shard
+        # size; oversized clouds subsample exactly like make_batch (the
+        # module rng advances so epochs see different subsets)
+        from lattice_net_tpu.parallel.data_parallel import _batch_rng
+        from lattice_net_tpu.parallel.lattice_sharded import shard_clouds_host
+
+        capped = []
+        for positions, values, target in clouds:
+            if positions.shape[0] > n_points:
+                sel = _batch_rng.choice(positions.shape[0], n_points, replace=False)
+                positions, values, target = positions[sel], values[sel], target[sel]
+            capped.append((positions, values, target))
+        pos_b, val_b, tgt_b, mask_b, _, bounds_b = shard_clouds_host(
+            capped, sigma, sp, ignore_index=ignore_index, per=sp_per
+        )
+        # tail-padding sentinel clouds (see mask_dummy) contribute nothing
+        mask_b = mask_b & (tgt_b != -12345)
+        if sp_mesh is not None and "dp" not in sp_mesh.axis_names:
+            pos_b, val_b, tgt_b, mask_b, bounds_b = (
+                pos_b[0], val_b[0], tgt_b[0], mask_b[0], bounds_b[0],
+            )
+        return {
+            "pos_s": pos_b, "val_s": val_b, "tgt_s": tgt_b,
+            "mask_s": mask_b, "bounds": bounds_b,
+        }
+
     b0 = batch_of([prepare_cloud(loader_train.get_cloud(0), mp)] * batch_size)
     h0 = build_hierarchy(
         b0["positions"][0], sigma, mp.nr_downsamples, caps, point_mask=b0["point_mask"][0]
@@ -320,7 +371,31 @@ def run(
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed {resume} at step {int(state.step)} (epoch ~{start_epoch})")
 
-    if mesh is not None:
+    if sp_mesh is not None:
+        from lattice_net_tpu.parallel.lattice_sharded import (
+            make_hybrid_lnn_train_step,
+            make_sharded_lnn_train_step,
+        )
+
+        if "dp" in sp_mesh.axis_names:
+            sp_step = make_hybrid_lnn_train_step(
+                sp_mesh, model, tx, sigma, mp.nr_downsamples, caps,
+                halo_budget=sp_per, ignore_index=ignore_index,
+                check_band=not sp_approx,
+            )
+        else:
+            sp_step = make_sharded_lnn_train_step(
+                sp_mesh, model, tx, sigma, mp.nr_downsamples, caps,
+                halo_budget=sp_per, ignore_index=ignore_index,
+                check_band=not sp_approx,
+            )
+
+        def train_step(state, batch, rng):
+            return sp_step(
+                state, batch["pos_s"], batch["val_s"], batch["tgt_s"],
+                batch["mask_s"], batch["bounds"],
+            )
+    elif mesh is not None:
         state = replicate_state(state, mesh)
         train_step = make_dp_train_step(
             model, tx, mesh, sigma, mp.nr_downsamples, caps, ignore_index,
@@ -366,8 +441,10 @@ def run(
                 phase.loader, mp, batch_size, n_points, drop_last=False,
                 sigma=sigma, chunk_oversized=not phase.grad,
             )
-            for batch, real in prefetch_batches(gen, lambda it: (batch_of(it[0]), it[1])):
-                batch = mask_dummy(batch, real)
+            make_b = batch_of_sp if (sp_mesh is not None and phase.grad) else batch_of
+            for batch, real in prefetch_batches(gen, lambda it: (make_b(it[0]), it[1])):
+                if "target" in batch:  # sp batches mask dummies host-side
+                    batch = mask_dummy(batch, real)
                 if phase.grad:
                     rng, step_rng = jax.random.split(rng)
                     state, metrics = train_step(state, batch, step_rng)
@@ -375,7 +452,11 @@ def run(
                     # both metrics come back with the loss (no extra device
                     # sync) and are diluted by the same B/real dummy-slot
                     # factor, so rescale both to per-real-cloud means
-                    scale = batch["positions"].shape[0] / max(1, real)
+                    n_slots = (
+                        batch["positions"].shape[0] if "positions" in batch
+                        else (batch["pos_s"].shape[0] if batch["pos_s"].ndim == 4 else 1)
+                    )
+                    scale = n_slots / max(1, real)
                     sanity_check(
                         int(float(metrics["nr_verts_mean"]) * scale),
                         int(float(metrics["nr_points_mean"]) * scale),
@@ -410,6 +491,17 @@ def main():
     ap.add_argument("--resume", default="", help="checkpoint to restore the full TrainState from")
     ap.add_argument("--dp", action="store_true", help="data-parallel over all local devices")
     ap.add_argument(
+        "--sp", type=int, default=0,
+        help="stripe each cloud's vertex table over N devices (lattice "
+        "sharding with ghost-point halos); combine with --dp for a hybrid "
+        "2-axis mesh batching clouds over the remaining devices",
+    )
+    ap.add_argument(
+        "--sp-approx", action="store_true",
+        help="allow stripes narrower than the receptive band (boundary "
+        "results become approximate instead of raising)",
+    )
+    ap.add_argument(
         "overrides",
         nargs="*",
         help="config overrides of the form section.key=value (e.g. train.lr=0.003)",
@@ -417,7 +509,7 @@ def main():
     args = ap.parse_args()
     run(
         args.config, args.max_epochs, args.n_points, args.eval_every,
-        args.resume, args.dp, args.overrides,
+        args.resume, args.dp, args.overrides, sp=args.sp, sp_approx=args.sp_approx,
     )
 
 

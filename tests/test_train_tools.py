@@ -247,3 +247,12 @@ def test_teaser_tool_emits_figure_assets(tmp_path):
     (d,) = list(tmp_path.iterdir())
     names = {p.name for p in d.iterdir()}
     assert {"prediction.ply", "gt.ply", "diff.ply", "prediction.html", "gt.html"} <= names
+
+
+def test_train_cli_sp_mode():
+    # the --sp CLI path end-to-end on the virtual mesh: striped clouds,
+    # sharded train step with DP-style metrics, plain single-device eval
+    from lattice_net_tpu.train.ln_train import run
+
+    state = run("config/ln_train_toy.cfg", max_epochs=1, sp=2, sp_approx=True)
+    assert int(state.step) > 0
