@@ -43,6 +43,19 @@ def predict_cloud_chunked(predict_fn, prepared, n_points: int, model_params) -> 
     return preds
 
 
+def unstripe_predictions(lab_s, ids_s, n: int) -> np.ndarray:
+    """Scatter per-stripe predictions back to original point order.
+
+    ``lab_s`` (n_shards, per) predictions, ``ids_s`` (n_shards, per) original
+    point indices from ``shard_points_host`` (-1 = padding).  Every real
+    point appears exactly once across stripes."""
+    lab = np.asarray(lab_s).reshape(-1)
+    ids = np.asarray(ids_s).reshape(-1)
+    preds = np.empty(n, np.int32)
+    preds[ids[ids >= 0]] = lab[ids >= 0]
+    return preds
+
+
 class EvalSetup:
     """Everything the eval-side tools share: restored params + a jitted
     single-chunk argmax predictor over the config's model/lattice knobs.
@@ -53,7 +66,14 @@ class EvalSetup:
         self.__dict__.update(kw)
 
 
-def setup_predictor(config_path: str, checkpoint: str = "", overrides=(), n_points: int = 0):
+def setup_predictor(
+    config_path: str,
+    checkpoint: str = "",
+    overrides=(),
+    n_points: int = 0,
+    sp: int = 0,
+    sp_approx: bool = False,
+):
     import jax
 
     from lattice_net_tpu.config import (
@@ -104,11 +124,52 @@ def setup_predictor(config_path: str, checkpoint: str = "", overrides=(), n_poin
         logp, _ = model.apply(params, h, batch["positions"][0], batch["values"][0])
         return jax.numpy.argmax(logp, axis=-1)
 
+    sharded_predict = None
+    if sp > 0:
+        # EXACT full-receptive-field prediction for clouds striped over sp
+        # devices — unlike the chunked fallback, ghost-point halos preserve
+        # cross-boundary context, so results equal a single-device
+        # full-cloud forward (tests/test_lattice_sharded.py)
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from lattice_net_tpu.parallel.lattice_sharded import (
+            make_sharded_lnn_forward,
+            shard_points_host,
+        )
+
+        devices = jax.devices()
+        if len(devices) < sp:
+            raise ValueError(f"--sp {sp} needs {sp} devices, have {len(devices)}")
+        mesh = Mesh(np.asarray(devices[:sp]), ("sp",))
+        per = -(-n_points // sp)
+        sfwd = make_sharded_lnn_forward(
+            mesh, model, sigma, mp.nr_downsamples, caps, halo_budget=per,
+            check_band=not sp_approx,
+        )
+
+        def sharded_predict(prepared):
+            positions, values, _ = prepared
+            if positions.shape[0] > per * sp:
+                return None  # over budget: caller falls back to chunked
+            pos_s, val_s, mask_s, ids_s, bounds = shard_points_host(
+                positions, values, sigma, sp, per=per
+            )
+            logp_s, _, ov_s = sfwd(params, pos_s, val_s, mask_s, bounds)
+            ov = int(np.asarray(ov_s).sum())
+            if ov:
+                print(f"WARNING: sharded forward overflowed {ov} (table/halo) — "
+                      "predictions near stripe boundaries may be degraded")
+            return unstripe_predictions(
+                jnp.argmax(logp_s, -1), ids_s, positions.shape[0]
+            )
+
     return EvalSetup(
         cfg=cfg, ep=ep, loader=loader, nr_classes=nr_classes,
         ignore_index=ignore_index, mp=mp, sigma=sigma, caps=caps,
         n_points=n_points, model=model, params=params,
         predict_fn=lambda batch: _predict(params, batch),
+        sharded_predict=sharded_predict,
     )
 
 
@@ -118,11 +179,13 @@ def run(
     write_predictions: bool | None = None,
     overrides=(),
     n_points: int = 0,
+    sp: int = 0,
+    sp_approx: bool = False,
 ):
     from lattice_net_tpu.models import prepare_cloud
     from lattice_net_tpu.train.callbacks import Scores, iou_counts
 
-    s = setup_predictor(config_path, checkpoint, overrides, n_points)
+    s = setup_predictor(config_path, checkpoint, overrides, n_points, sp, sp_approx)
     ep, loader, mp, sigma = s.ep, s.loader, s.mp, s.sigma
     nr_classes, ignore_index, n_points, predict_fn = (
         s.nr_classes, s.ignore_index, s.n_points, s.predict_fn,
@@ -137,7 +200,9 @@ def run(
     for i, cloud in enumerate(loader):
         prepared = prepare_cloud(cloud, mp)
         check_positions(prepared[0], prepared[1], sigma=sigma)
-        pred = predict_cloud_chunked(predict_fn, prepared, n_points, mp)
+        pred = s.sharded_predict(prepared) if s.sharded_predict else None
+        if pred is None:
+            pred = predict_cloud_chunked(predict_fn, prepared, n_points, mp)
         target = prepared[2]
         assert pred.shape[0] == len(cloud.V), "one prediction per input point"
         inter, union = iou_counts(pred, target, nr_classes, ignore_index)
@@ -185,12 +250,24 @@ def main():
         "chunked-vs-full receptive-field gap",
     )
     ap.add_argument(
+        "--sp", type=int, default=0,
+        help="stripe each cloud over N devices for EXACT full-receptive-field "
+        "prediction (ghost-point halos) instead of lossy chunking",
+    )
+    ap.add_argument(
+        "--sp-approx", action="store_true",
+        help="allow stripes narrower than the receptive band",
+    )
+    ap.add_argument(
         "overrides",
         nargs="*",
         help="config overrides of the form section.key=value (e.g. eval.checkpoint_path=...)",
     )
     args = ap.parse_args()
-    run(args.config, args.checkpoint, args.write_predictions, args.overrides, args.n_points)
+    run(
+        args.config, args.checkpoint, args.write_predictions, args.overrides,
+        args.n_points, sp=args.sp, sp_approx=args.sp_approx,
+    )
 
 
 if __name__ == "__main__":

@@ -256,3 +256,19 @@ def test_train_cli_sp_mode():
 
     state = run("config/ln_train_toy.cfg", max_epochs=1, sp=2, sp_approx=True)
     assert int(state.step) > 0
+
+
+def test_unstripe_predictions_roundtrip():
+    # stripe a cloud, label each point with its own index, unstripe: identity
+    import numpy as np
+    from lattice_net_tpu.parallel.lattice_sharded import shard_points_host
+    from lattice_net_tpu.train.ln_eval import unstripe_predictions
+
+    rng = np.random.default_rng(5)
+    n = 101  # not divisible by n_shards: exercises padding slots
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    val = np.zeros((n, 1), np.float32)
+    _, _, _, ids_s, _ = shard_points_host(pos, val, 0.5, 4, per=32)
+    lab_s = np.where(np.asarray(ids_s) >= 0, np.asarray(ids_s), 0)
+    out = unstripe_predictions(lab_s, ids_s, n)
+    np.testing.assert_array_equal(out, np.arange(n))
