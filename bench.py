@@ -34,6 +34,10 @@ parity-tested because the trade may flip at other densities):
     dedup fast build in the train step: 266.6 vs 251.4 ms/step — the fast
     build's EdgeSort-reconstruction scatters cost more than the saved sort
     volume even with the reorder free.
+  LNT_LOVASZ_SORTVJP=1 / LNT_LOVASZ_CONDSKIP=1 — alternative Lovász
+    formulations for the train half (sort-unsort backward; per-class
+    lax.cond skipping absent classes' sorts at runtime, the reference's own
+    dynamic-skip semantics).  Grad-parity tested; on-chip A/B pending.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
 "train_step_ms", "train_steps_per_sec", ...}.

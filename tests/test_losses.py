@@ -137,3 +137,34 @@ def test_nll_onehot_bit_exact(rng):
     w = (t != 2).astype(np.float32)
     want = -(picked * w).sum() / w.sum()
     np.testing.assert_allclose(float(got), want, rtol=1e-6)
+
+
+def test_lovasz_condskip_matches_batched(rng, monkeypatch):
+    # the opt-in per-class cond-skip path (LNT_LOVASZ_CONDSKIP=1) must match
+    # the batched sort formulation in VALUE and GRADIENT, including classes
+    # absent from the sample (their cond branch never sorts), sort ties, and
+    # ignored/masked points
+    import jax
+
+    n, c = 400, 8
+    lp = _log_probs(rng, n, c)
+    lp[50:60] = lp[40:50]  # exact duplicate errors -> sort ties
+    # only classes {0, 1, 2, 5} present; 0 is also the ignore index
+    t = rng.choice([0, 1, 2, 5], size=n).astype(np.int32)
+    mask = np.ones(n, bool)
+    mask[370:] = False
+
+    def f(x):
+        return losses.lovasz_softmax(
+            jnp.asarray(x), jnp.asarray(t), ignore_index=0,
+            point_mask=jnp.asarray(mask),
+        )
+
+    monkeypatch.delenv("LNT_LOVASZ_CONDSKIP", raising=False)
+    monkeypatch.delenv("LNT_LOVASZ_SORTVJP", raising=False)
+    l_ad, g_ad = jax.value_and_grad(f)(jnp.asarray(lp))
+    monkeypatch.setenv("LNT_LOVASZ_CONDSKIP", "1")
+    l_cs, g_cs = jax.value_and_grad(f)(jnp.asarray(lp))
+    np.testing.assert_allclose(float(l_ad), float(l_cs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_cs), rtol=1e-6, atol=1e-8)
+    assert float(jnp.abs(g_cs).sum()) > 0
