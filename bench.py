@@ -34,10 +34,14 @@ parity-tested because the trade may flip at other densities):
     dedup fast build in the train step: 266.6 vs 251.4 ms/step — the fast
     build's EdgeSort-reconstruction scatters cost more than the saved sort
     volume even with the reorder free.
-  LNT_LOVASZ_SORTVJP=1 / LNT_LOVASZ_CONDSKIP=1 — alternative Lovász
-    formulations for the train half (sort-unsort backward; per-class
-    lax.cond skipping absent classes' sorts at runtime, the reference's own
-    dynamic-skip semantics).  Grad-parity tested; on-chip A/B pending.
+  LNT_LOVASZ_SORTVJP=1 / LNT_LOVASZ_CONDSKIP=1 / LNT_LOVASZ_PACKED=1 —
+    alternative Lovász formulations for the train half (sort-unsort
+    backward; per-class lax.cond skipping absent classes' sorts at runtime;
+    single-int32-key packed sort with sort-unsort backward).  Grad/value
+    parity tested; on-chip A/Bs pending.
+  LNT_MERGED_LOOKUP=1 — one [table; queries] sort per fine level shared
+    between the same-level and coarsen neighbour lookups (affects both
+    halves).  Bit-identical tables (tested); on-chip A/B pending.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
 "train_step_ms", "train_steps_per_sec", ...}.

@@ -36,6 +36,7 @@ Conventions:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Sequence
 
 import jax
@@ -566,35 +567,24 @@ def _interleave_neighbors(idx_plus: jnp.ndarray, idx_minus: jnp.ndarray) -> jnp.
     return jnp.stack([idx_plus, idx_minus], axis=-1).reshape(v, 2 * d1)
 
 
-def build_neighbors_same_level(structure: LatticeStructure) -> jnp.ndarray:
-    """(capacity, 2(d+1)) neighbour ids for 1-hop convs at one level.
-
-    The centre vertex is the row itself and is not stored.  Rows beyond
-    ``nr_verts`` get all-invalid entries.
-
-    Only the '+' moves are resolved by (binary-search) lookup; the '-' moves
-    follow by symmetry — ``u = v + m_a  <=>  v = u - m_a`` — via one scatter,
-    halving the lookup volume (lookups were the top cost of the round-1
-    hierarchy build).
-    """
-    from lattice_net_tpu.ops_tpu.lookup import monotone_lookup
-
+def _same_level_queries(structure: LatticeStructure):
+    """(C, d+1, d) '+'-move query keys + (C,) valid-row mask for one level."""
     d = structure.pos_dim
-    cap = structure.capacity
     moves = jnp.asarray(_axis_moves_np(d))  # (d+1, d)
-    keys = structure.keys  # (C, d)
     occ1 = structure.occupancy_mask()
-    occ = occ1[:, None]
     # sanitize sentinel rows before adding moves (SENTINEL + move wraps
     # int32): wrapped garbage in the solo key column would defeat the
     # folded key+payload sort inside merge_lookup (its kmax guard would
     # always force the plain sort) — results were correct but slower.
-    base = jnp.where(occ1[:, None], keys, 0)
-    # every query column is sorted (sorted keys + constant move), so the
-    # Pallas windowed merge-count lookup applies; it handles invalid rows
-    # and falls back to merge_lookup off-TPU / on window overflow
-    idx_p = monotone_lookup(structure, base[:, None, :] + moves[None], occ1)
+    base = jnp.where(occ1[:, None], structure.keys, 0)
+    return base[:, None, :] + moves[None], occ1
 
+
+def _same_level_finish(structure: LatticeStructure, idx_p: jnp.ndarray) -> jnp.ndarray:
+    """Reciprocal '-' scatter + interleave: (C, d+1) '+' ids -> full table."""
+    d = structure.pos_dim
+    cap = structure.capacity
+    occ = structure.occupancy_mask()[:, None]
     # reciprocal '-' table: idx_m[u, a] = v wherever idx_p[v, a] = u.  Each
     # (u, a) has at most one v (v's key is u's key minus the move), so the
     # scatter never collides; misses land in the sentinel row cap.
@@ -612,6 +602,50 @@ def build_neighbors_same_level(structure: LatticeStructure) -> jnp.ndarray:
     return jnp.where(occ, nbr, cap)
 
 
+def build_neighbors_same_level(structure: LatticeStructure) -> jnp.ndarray:
+    """(capacity, 2(d+1)) neighbour ids for 1-hop convs at one level.
+
+    The centre vertex is the row itself and is not stored.  Rows beyond
+    ``nr_verts`` get all-invalid entries.
+
+    Only the '+' moves are resolved by (binary-search) lookup; the '-' moves
+    follow by symmetry — ``u = v + m_a  <=>  v = u - m_a`` — via one scatter,
+    halving the lookup volume (lookups were the top cost of the round-1
+    hierarchy build).
+    """
+    from lattice_net_tpu.ops_tpu.lookup import monotone_lookup
+
+    queries, occ1 = _same_level_queries(structure)
+    idx_p = monotone_lookup(structure, queries, occ1)
+    return _same_level_finish(structure, idx_p)
+
+
+def _coarsen_queries(coarse: LatticeStructure, fine: LatticeStructure):
+    """(Cc, 2(d+1)+1, d) candidate FINE keys + (Cc,) valid-row mask."""
+    d = coarse.pos_dim
+    moves = jnp.asarray(_axis_moves_np(d))
+    occ1 = coarse.occupancy_mask()
+    # sanitize sentinel rows before doubling (SENTINEL * 2 wraps int32);
+    # the caller masks them to capacity anyway
+    base = jnp.where(occ1[:, None], coarse.keys, 0) * 2  # (C, d)
+    cand = jnp.concatenate(
+        [base[:, None, :] + moves[None], base[:, None, :] - moves[None], base[:, None, :]],
+        axis=1,
+    )  # (C, 2(d+1)+1, d) in [+moves..., -moves..., centre] order
+    return cand, occ1
+
+
+def _coarsen_finish(
+    coarse: LatticeStructure, fine: LatticeStructure, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Interleave the resolved (Cc, 2(d+1)+1) ids into the coarsen table."""
+    d1 = coarse.pos_dim + 1
+    idx_p, idx_m, center = idx[:, :d1], idx[:, d1 : 2 * d1], idx[:, 2 * d1]
+    nbr = jnp.concatenate([_interleave_neighbors(idx_p, idx_m), center[:, None]], axis=-1)
+    occ = coarse.occupancy_mask()[:, None]
+    return jnp.where(occ, nbr, fine.capacity)
+
+
 def build_neighbors_coarse_from_fine(
     coarse: LatticeStructure, fine: LatticeStructure
 ) -> jnp.ndarray:
@@ -624,23 +658,45 @@ def build_neighbors_coarse_from_fine(
     """
     from lattice_net_tpu.ops_tpu.lookup import monotone_lookup
 
-    d = coarse.pos_dim
-    moves = jnp.asarray(_axis_moves_np(d))
-    occ1 = coarse.occupancy_mask()
-    # sanitize sentinel rows before doubling (SENTINEL * 2 wraps int32);
-    # monotone_lookup masks them to capacity anyway
-    base = jnp.where(occ1[:, None], coarse.keys, 0) * 2  # (C, d)
-    # one windowed lookup for all 2(d+1)+1 candidate keys (columns sorted)
-    cand = jnp.concatenate(
-        [base[:, None, :] + moves[None], base[:, None, :] - moves[None], base[:, None, :]],
-        axis=1,
-    )  # (C, 2(d+1)+1, d) in [+moves..., -moves..., centre] order
+    cand, occ1 = _coarsen_queries(coarse, fine)
     idx = monotone_lookup(fine, cand, occ1)
-    d1 = d + 1
-    idx_p, idx_m, center = idx[:, :d1], idx[:, d1 : 2 * d1], idx[:, 2 * d1]
-    nbr = jnp.concatenate([_interleave_neighbors(idx_p, idx_m), center[:, None]], axis=-1)
-    occ = occ1[:, None]
-    return jnp.where(occ, nbr, fine.capacity)
+    return _coarsen_finish(coarse, fine, idx)
+
+
+def _build_neighbor_tables_merged(structures):
+    """All same-level + coarsen neighbour tables with ONE merge_lookup sort
+    per fine level.
+
+    Per fine level i, both the same-level '+'-move queries (C_i * (d+1)) and
+    level i+1's coarsen-patch queries (C_{i+1} * (2(d+1)+1)) resolve against
+    the SAME sorted table ``structures[i]``; concatenating them shares one
+    [table; queries] sort instead of two — saving a sort dispatch and a
+    duplicate pass over the table per level.  Opt-in via LNT_MERGED_LOOKUP=1
+    pending the on-chip in-program A/B (isolated stage timings are not
+    trustworthy over the axon tunnel, see CLAUDE.md).
+    """
+    nr_levels = len(structures) - 1
+    same, coarsen = [], []
+    for i, s in enumerate(structures):
+        q_same, occ_same = _same_level_queries(s)  # (C_i, d+1, d)
+        if i + 1 <= nr_levels:
+            q_coar, occ_coar = _coarsen_queries(structures[i + 1], s)
+            n_same = q_same.shape[0] * q_same.shape[1]
+            merged = jnp.concatenate(
+                [q_same.reshape(-1, s.pos_dim), q_coar.reshape(-1, s.pos_dim)], axis=0
+            )
+            idx = s.merge_lookup(merged)
+            idx_same = idx[:n_same].reshape(q_same.shape[:2])
+            idx_coar = idx[n_same:].reshape(q_coar.shape[:2])
+            idx_same = jnp.where(occ_same[:, None], idx_same, s.capacity)
+            idx_coar = jnp.where(occ_coar[:, None], idx_coar, s.capacity)
+            coarsen.append(_coarsen_finish(structures[i + 1], s, idx_coar))
+        else:
+            from lattice_net_tpu.ops_tpu.lookup import monotone_lookup
+
+            idx_same = monotone_lookup(s, q_same, occ_same)
+        same.append(_same_level_finish(s, idx_same))
+    return tuple(same), tuple(coarsen)
 
 
 def build_neighbors_fine_from_coarse(
@@ -1128,11 +1184,14 @@ def build_hierarchy(
         if lvl == 0:
             _, splat_idx, splat_w, edges = out
 
-    neighbors_same = tuple(build_neighbors_same_level(s) for s in structures)
-    neighbors_coarsen = tuple(
-        build_neighbors_coarse_from_fine(structures[i + 1], structures[i])
-        for i in range(nr_levels)
-    )
+    if os.environ.get("LNT_MERGED_LOOKUP", "0") == "1":
+        neighbors_same, neighbors_coarsen = _build_neighbor_tables_merged(structures)
+    else:
+        neighbors_same = tuple(build_neighbors_same_level(s) for s in structures)
+        neighbors_coarsen = tuple(
+            build_neighbors_coarse_from_fine(structures[i + 1], structures[i])
+            for i in range(nr_levels)
+        )
     # finefy tables are free: exact transposes of the coarsen tables
     neighbors_finefy = tuple(
         finefy_from_coarsen_transpose(

@@ -114,6 +114,71 @@ def _lovasz_class_bwd(res, g_out):
 _lovasz_class.defvjp(_lovasz_class_fwd, _lovasz_class_bwd)
 
 
+def _pack_lovasz_key(errors, gt, valid):
+    """Fold (error, gt, valid) into ONE int32 sort key per entry.
+
+    Valid errors are |1_{y=c} - p_c| in [0, 1]; non-negative f32 bit patterns
+    order like the floats and 1.0f is 0x3F800000 < 2^30, so ``bits << 1 | gt``
+    fits 31 bits.  Invalid entries become -1, which sorts strictly after every
+    valid key under the descending (negated-key ascending) sort.  The LOSS is
+    exactly tie-order invariant — within a block of equal errors the dot
+    ``sum(err * lovasz_grad)`` telescopes to ``err * (jaccard_end -
+    jaccard_start)``, a function of the block's gt COUNT only — so replacing
+    the multi-operand sort's arbitrary tie order with "gt=1 first" changes
+    nothing but float summation order (~1e-7); per-entry gradients inside a
+    tie block pick a different valid subgradient.
+    """
+    bits = jax.lax.bitcast_convert_type(errors.astype(jnp.float32), jnp.int32)
+    key = (bits << 1) | gt.astype(jnp.int32)
+    return jnp.where(valid, key, -1)
+
+
+def _unpack_lovasz_sorted(key_s):
+    """Inverse of :func:`_pack_lovasz_key` on the sorted stream."""
+    val_s = (key_s >= 0).astype(jnp.float32)
+    gt_s = (key_s & 1).astype(jnp.float32) * val_s
+    err_bits = jnp.where(key_s >= 0, key_s >> 1, 0)
+    err_s = jax.lax.bitcast_convert_type(err_bits, jnp.float32) * val_s
+    return err_s, gt_s, val_s
+
+
+@jax.custom_vjp
+def _lovasz_from_errors_packed(errors, gt, validb, w):
+    key = _pack_lovasz_key(errors, gt, jnp.broadcast_to(validb[None, :], gt.shape))
+    key_s = -jax.lax.sort(-key)  # descending
+    err_s, gt_s, val_s = _unpack_lovasz_sorted(key_s)
+    grad = _lovasz_grad(gt_s, val_s)
+    losses = jnp.sum(err_s * grad * val_s, axis=-1)
+    return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _lovasz_packed_fwd(errors, gt, validb, w):
+    c, n = errors.shape
+    key = _pack_lovasz_key(errors, gt, jnp.broadcast_to(validb[None, :], gt.shape))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (c, n), 1)
+    negk_s, perm = jax.lax.sort((-key, iota), num_keys=1)
+    err_s, gt_s, val_s = _unpack_lovasz_sorted(-negk_s)
+    grad = _lovasz_grad(gt_s, val_s)
+    losses = jnp.sum(err_s * grad * val_s, axis=-1)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    loss = jnp.sum(losses * w) / wsum
+    return loss, (val_s, grad, perm, w, wsum)
+
+
+def _lovasz_packed_bwd(res, g_out):
+    val_s, grad, perm, w, wsum = res
+    # err_s >= 0 on valid entries, so there is no relu kink to replicate;
+    # d loss / d err_s is simply the (weighted) lovasz grad on valid rows
+    gs = (g_out / wsum) * w[:, None] * val_s * grad  # (C, N)
+    # unsort with a SORT (see _lovasz_sortvjp_bwd): per-row permutation
+    # scatters lower poorly on TPU
+    _, g_err = jax.lax.sort((perm, gs), num_keys=1)
+    return (g_err, jnp.zeros_like(g_err), None, jnp.zeros_like(w))
+
+
+_lovasz_from_errors_packed.defvjp(_lovasz_packed_fwd, _lovasz_packed_bwd)
+
+
 def _lovasz_from_errors_condskip(errors, gt, validf, w):
     """Per-class ``lax.cond``: absent classes skip their sort at RUNTIME.
 
@@ -169,6 +234,14 @@ def lovasz_softmax(
     backward's (C, N) permutation scatter — AD's transpose of the sort —
     for a second (C, N) 2-operand sort; gradients are identical (tested to
     1e-6 in ``tests/test_losses.py``).
+
+    ``LNT_LOVASZ_PACKED=1`` (opt-in pending an on-chip A/B) folds (error
+    bits, gt, valid) into ONE int32 sort key (see :func:`_pack_lovasz_key`)
+    — the forward sort carries 2 int32 operands (key + unsort permutation)
+    instead of 3-4 f32, and the backward is the same sort-unsort as
+    SORTVJP.  Loss values are tie-order invariant and match the batched
+    formulation to float rounding; per-entry gradients at exact error ties
+    pick a different valid subgradient (tested).
     """
     n, nr_classes = log_probs.shape
     probs = jnp.exp(log_probs)
@@ -189,6 +262,8 @@ def lovasz_softmax(
         return _lovasz_from_errors_condskip(errors, gt, validf, w)
     if os.environ.get("LNT_LOVASZ_SORTVJP", "0") == "1":
         return _lovasz_from_errors_sortvjp(errors, gt, validf, w)
+    if os.environ.get("LNT_LOVASZ_PACKED", "0") == "1":
+        return _lovasz_from_errors_packed(errors, gt, valid, w)
     return _lovasz_from_errors(errors, gt, validf, w)
 
 

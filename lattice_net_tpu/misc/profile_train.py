@@ -129,6 +129,22 @@ def main():
     b3 = timeit("B3 value_and_grad, sort-unsort Lovász VJP", f_grad_sv, params, positions)
     _os.environ.pop("LNT_LOVASZ_SORTVJP", None)
 
+    # B4: packed single-key Lovász — (error bits, gt, valid) folded into ONE
+    # int32 sort operand, sort-unsort backward (LNT_LOVASZ_PACKED=1)
+    _os.environ["LNT_LOVASZ_PACKED"] = "1"
+    f_grad_pk = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos))
+    b4 = timeit("B4 value_and_grad, packed single-key Lovász", f_grad_pk, params, positions)
+    _os.environ.pop("LNT_LOVASZ_PACKED", None)
+
+    # B5: merged neighbour lookups — one [table; queries] sort per fine level
+    # shared between same-level and coarsen tables (LNT_MERGED_LOOKUP=1)
+    _os.environ["LNT_MERGED_LOOKUP"] = "1"
+    f_grad_ml = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos))
+    b5 = timeit("B5 value_and_grad, merged neighbour lookups", f_grad_ml, params, positions)
+    f_fwd_ml = jax.jit(lambda p, pos: loss_of(p, pos))
+    a3 = timeit("A3 forward loss, merged neighbour lookups", f_fwd_ml, params, positions)
+    _os.environ.pop("LNT_MERGED_LOOKUP", None)
+
     # C: grad with prebuilt hierarchy (build outside AD, same program builds
     # the hierarchy first, then differentiates only the network)
     def c_fn(p, pos):
@@ -156,6 +172,9 @@ def main():
     print(f"Lovász forward (A - A2): {a - a2:8.3f} ms")
     print(f"Lovász fwd+bwd (B - B2): {b - b2:8.3f} ms")
     print(f"sort-unsort Lovász VJP saves (B - B3): {b - b3:8.3f} ms")
+    print(f"packed single-key Lovász saves (B - B4): {b - b4:8.3f} ms")
+    print(f"merged lookups save, train (B - B5): {b - b5:8.3f} ms")
+    print(f"merged lookups save, fwd (A - A3): {a - a3:8.3f} ms")
 
 
 if __name__ == "__main__":

@@ -168,3 +168,46 @@ def test_lovasz_condskip_matches_batched(rng, monkeypatch):
     np.testing.assert_allclose(float(l_ad), float(l_cs), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_cs), rtol=1e-6, atol=1e-8)
     assert float(jnp.abs(g_cs).sum()) > 0
+
+
+def test_lovasz_packed_matches_batched(rng, monkeypatch):
+    # the opt-in single-key packed sort (LNT_LOVASZ_PACKED=1) folds
+    # (error bits, gt, valid) into one int32 operand; the LOSS is tie-order
+    # invariant (the err*grad dot telescopes over tie blocks), so it must
+    # match the batched 3-operand formulation on any input.  Gradients are
+    # compared on a tie-free input only: at ties the packed order ("gt=1
+    # first") picks a different — equally valid — subgradient.
+    import jax
+
+    n, c = 400, 6
+    lp = _log_probs(rng, n, c)
+    t = rng.integers(0, c, size=n).astype(np.int32)
+    mask = np.ones(n, bool)
+    mask[370:] = False
+
+    def f(x):
+        return losses.lovasz_softmax(
+            jnp.asarray(x), jnp.asarray(t), ignore_index=0,
+            point_mask=jnp.asarray(mask),
+        )
+
+    monkeypatch.delenv("LNT_LOVASZ_PACKED", raising=False)
+    monkeypatch.delenv("LNT_LOVASZ_SORTVJP", raising=False)
+    l_ad, g_ad = jax.value_and_grad(f)(jnp.asarray(lp))
+    monkeypatch.setenv("LNT_LOVASZ_PACKED", "1")
+    l_pk, g_pk = jax.value_and_grad(f)(jnp.asarray(lp))
+    np.testing.assert_allclose(float(l_ad), float(l_pk), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_pk), rtol=1e-5, atol=1e-8)
+    assert float(jnp.abs(g_pk).sum()) > 0
+
+    # ties (duplicated rows, mixed targets): loss must still agree exactly,
+    # and the packed gradient must remain a finite nonzero subgradient
+    lp2 = lp.copy()
+    lp2[50:60] = lp2[40:50]
+    monkeypatch.delenv("LNT_LOVASZ_PACKED", raising=False)
+    l_ad2 = f(jnp.asarray(lp2))
+    monkeypatch.setenv("LNT_LOVASZ_PACKED", "1")
+    l_pk2, g_pk2 = jax.value_and_grad(f)(jnp.asarray(lp2))
+    np.testing.assert_allclose(float(l_ad2), float(l_pk2), rtol=1e-6)
+    assert np.isfinite(np.asarray(g_pk2)).all()
+    assert float(jnp.abs(g_pk2).sum()) > 0

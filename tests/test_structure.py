@@ -527,3 +527,23 @@ def test_make_batch_canonical_matches_plain_loss(rng):
     ))
     s2, m2 = step_canon(TrainState.create(params, tx), b_canon, rng_j)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_merged_lookup_tables_identical(rng, monkeypatch):
+    # LNT_MERGED_LOOKUP=1 shares one [table; queries] sort per fine level
+    # between the same-level and coarsen lookups; every neighbour table must
+    # be bit-identical to the per-call path, including with padding points
+    pts = _cloud(rng, 3000)
+    mask = np.ones(3000, bool)
+    mask[2500:] = False
+    caps = (4096, 2048, 1024)
+    monkeypatch.delenv("LNT_MERGED_LOOKUP", raising=False)
+    h_ref = st.build_hierarchy(jnp.asarray(pts), 0.4, 2, caps, point_mask=jnp.asarray(mask))
+    monkeypatch.setenv("LNT_MERGED_LOOKUP", "1")
+    h_mrg = st.build_hierarchy(jnp.asarray(pts), 0.4, 2, caps, point_mask=jnp.asarray(mask))
+    for a, b in zip(h_ref.neighbors_same, h_mrg.neighbors_same):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(h_ref.neighbors_coarsen, h_mrg.neighbors_coarsen):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(h_ref.neighbors_finefy, h_mrg.neighbors_finefy):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
