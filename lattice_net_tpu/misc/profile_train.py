@@ -145,6 +145,78 @@ def main():
     a3 = timeit("A3 forward loss, merged neighbour lookups", f_fwd_ml, params, positions)
     _os.environ.pop("LNT_MERGED_LOOKUP", None)
 
+    # ----- E rows: attribute the full-train-step gap over B ----------------
+    # bench.py's train step (~251 ms) wraps B (~117 ms) in: point_mask build +
+    # dropout RNG, a b=1 vmap + acc/IoU metrics, and the AdamW update with
+    # state carry.  Each E row adds one layer so the deltas attribute the gap.
+    from lattice_net_tpu.losses import segmentation_loss as _segloss
+    from lattice_net_tpu.parallel.data_parallel import make_loss_fn, make_train_step
+
+    mask = jnp.ones((n,), bool)
+    drop_rng = jax.random.PRNGKey(7)
+
+    # E2: B + masked build + dropout + masked loss (still bare: no vmap,
+    # no metrics, no optimizer)
+    def loss_masked(params, positions):
+        h = build_hierarchy(
+            positions, sigma, mp.nr_downsamples, caps, point_mask=mask
+        )
+        logp, _ = model.apply(
+            params, h, positions, values,
+            deterministic=False, rngs={"dropout": drop_rng},
+        )
+        return _segloss(logp, target, 0, None, mask)
+
+    f_grad_m = jax.jit(lambda p, pos: jax.value_and_grad(loss_masked)(p, pos))
+    e2 = timeit("E2 value_and_grad, +mask +dropout", f_grad_m, params, positions)
+
+    # E3: + b=1 vmap + acc/IoU metrics (exactly bench's loss_fn)
+    batch = {
+        "positions": positions[None],
+        "values": values[None],
+        "target": target[None],
+        "point_mask": mask[None],
+    }
+    lf_v = make_loss_fn(
+        model, sigma, mp.nr_downsamples, caps, ignore_index=0, force_vmap=True
+    )
+    f_grad_v = jax.jit(
+        lambda p, pos: jax.value_and_grad(lf_v, has_aux=True)(
+            p,
+            {**batch, "positions": pos[None]},
+            jax.random.PRNGKey(3),
+        )
+    )
+    e3 = timeit("E3 value_and_grad, +vmap(1) +metrics", f_grad_v, params, positions)
+
+    # F: same but through the b==1 vmap BYPASS (production default) — the
+    # delta vs E3 is what the degenerate batch dim costs
+    lf_s = make_loss_fn(model, sigma, mp.nr_downsamples, caps, ignore_index=0)
+    f_grad_s = jax.jit(
+        lambda p, pos: jax.value_and_grad(lf_s, has_aux=True)(
+            p,
+            {**batch, "positions": pos[None]},
+            jax.random.PRNGKey(3),
+        )
+    )
+    f_row = timeit("F  value_and_grad, b=1 bypass +metrics", f_grad_s, params, positions)
+
+    # E: the full bench train step (chained through the optimizer state)
+    tx_b = make_optimizer(
+        1e-3, weight_decay=1e-4, schedule="cosine_warm_restarts", t0_steps=1000
+    )
+    st = TrainState.create(params, tx_b)
+    step = jax.jit(make_train_step(model, tx_b, sigma, mp.nr_downsamples, caps))
+    rng_b = jax.random.PRNGKey(2)
+    st, _m = step(st, batch, rng_b)
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        st, _m = step(st, batch, rng_b)
+    jax.block_until_ready(st)
+    e = (time.perf_counter() - t0) / args.iters * 1000
+    print(f"{'E  full train step (bench configuration)':55s} {e:8.3f} ms")
+
     # C: grad with prebuilt hierarchy (build outside AD, same program builds
     # the hierarchy first, then differentiates only the network)
     def c_fn(p, pos):
@@ -175,6 +247,10 @@ def main():
     print(f"packed single-key Lovász saves (B - B4): {b - b4:8.3f} ms")
     print(f"merged lookups save, train (B - B5): {b - b5:8.3f} ms")
     print(f"merged lookups save, fwd (A - A3): {a - a3:8.3f} ms")
+    print(f"mask+dropout overhead (E2 - B): {e2 - b:8.3f} ms")
+    print(f"vmap(1)+metrics overhead (E3 - E2): {e3 - e2:8.3f} ms")
+    print(f"b=1 bypass saves (E3 - F): {e3 - f_row:8.3f} ms")
+    print(f"optimizer+state overhead (E - F): {e - f_row:8.3f} ms")
 
 
 if __name__ == "__main__":

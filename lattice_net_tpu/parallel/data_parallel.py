@@ -109,6 +109,7 @@ def make_loss_fn(
     ignore_index: int = -1,
     class_weights=None,
     canonical_points: bool = False,
+    force_vmap: bool = False,
 ) -> Callable:
     """Batched (vmapped) loss over a padded batch of clouds.
 
@@ -116,6 +117,13 @@ def make_loss_fn(
     batch must then come from ``make_batch(..., canonical=sigma)`` (host-side
     reorder).  Any order stays correct (the build falls back per lax.cond),
     but an uncanonical batch would forfeit the speed-up.
+
+    A batch of ONE cloud (the production shape: one scan per step / per DP
+    shard) bypasses ``vmap`` and squeezes the batch axis so XLA sees the
+    unbatched program — identical semantics (the single cloud still gets
+    ``split(rng, 1)[0]``, matching what vmap would feed slot 0), but no
+    degenerate (1, ...) leading dims.  ``force_vmap=True`` keeps the vmapped
+    lowering for A/B profiling (misc/profile_train.py).
     """
 
     capacities = tuple(int(c) for c in capacities)
@@ -145,9 +153,22 @@ def make_loss_fn(
     def loss_fn(params, batch, rng, train=True):
         b = batch["positions"].shape[0]
         rngs = jax.random.split(rng, b)
-        losses, aux = jax.vmap(
-            lambda p, v, t, m, r: per_cloud(params, p, v, t, m, r, train)
-        )(batch["positions"], batch["values"], batch["target"], batch["point_mask"], rngs)
+        if b == 1 and not force_vmap:
+            loss1, aux1 = per_cloud(
+                params,
+                batch["positions"][0],
+                batch["values"][0],
+                batch["target"][0],
+                batch["point_mask"][0],
+                rngs[0],
+                train,
+            )
+            losses = loss1[None]
+            aux = jax.tree.map(lambda x: jnp.asarray(x)[None], aux1)
+        else:
+            losses, aux = jax.vmap(
+                lambda p, v, t, m, r: per_cloud(params, p, v, t, m, r, train)
+            )(batch["positions"], batch["values"], batch["target"], batch["point_mask"], rngs)
         correct, valid, nr_verts, overflow, inter, union, nr_points = aux
         # *_mean metrics average over ALL batch slots, including dummy padding
         # slots (masked-out clouds that build ~0 vertices): consumers comparing

@@ -109,3 +109,25 @@ def test_dp_state_stays_in_sync():
         state, metrics = dp_step(state, batch, jax.random.fold_in(rng, i))
     assert int(state.step) == 3
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_b1_vmap_bypass_matches_vmap():
+    """A batch of one cloud bypasses vmap (production shape); loss, metrics
+    and grads must match the vmapped lowering exactly (same rng slot)."""
+    from lattice_net_tpu.parallel import make_loss_fn
+
+    tx = make_optimizer(1e-3)
+    model, state = _init_state(tx)
+    batch = _batch(1)
+    key = jax.random.PRNGKey(3)
+    lf_v = make_loss_fn(model, SIGMA, 1, CAPS, force_vmap=True)
+    lf_s = make_loss_fn(model, SIGMA, 1, CAPS)
+    (lv, mv), gv = jax.value_and_grad(lf_v, has_aux=True)(state.params, batch, key)
+    (ls, ms), gs = jax.value_and_grad(lf_s, has_aux=True)(state.params, batch, key)
+    np.testing.assert_allclose(float(lv), float(ls), rtol=1e-6)
+    for k in mv:
+        np.testing.assert_allclose(
+            np.asarray(mv[k]), np.asarray(ms[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(gv), jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
