@@ -35,6 +35,8 @@ Conventions:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 from typing import Any, Sequence
@@ -62,6 +64,35 @@ __all__ = [
 
 # sentinel key column value; sorts after every real coordinate.
 SENTINEL = np.iinfo(np.int32).max
+
+# Trace-time switch: under jax.vmap a lax.cond lowers to a select that
+# executes BOTH branches per element, so every data-dependent fast path in
+# the build (folded sorts, simplex-reduced coarse levels) would run ON TOP
+# of its general fallback — batched builds paid ~2x (the round-2 E3 row:
+# 249.6 vs 116.2 ms/step at KITTI scale).  Batched callers wrap their trace
+# in ``static_general_branches()`` and every ``_cond_general`` site takes
+# the always-correct general branch alone, with no runtime cond.
+_STATIC_GENERAL = contextvars.ContextVar("lnt_static_general", default=False)
+
+
+@contextlib.contextmanager
+def static_general_branches():
+    """Trace builds with every data-dependent fast-path cond collapsed to its
+    general branch (identical outputs — the fast branches are bit-compatible
+    shortcuts).  Use around ``jax.vmap`` traces of ``build_hierarchy``."""
+    tok = _STATIC_GENERAL.set(True)
+    try:
+        yield
+    finally:
+        _STATIC_GENERAL.reset(tok)
+
+
+def _cond_general(pred, fast, general, operand):
+    """``lax.cond`` whose false branch is the always-correct general path;
+    collapses statically to it inside ``static_general_branches()``."""
+    if _STATIC_GENERAL.get():
+        return general(operand)
+    return lax.cond(pred, fast, general, operand)
 
 
 def filter_extent(pos_dim: int, neighbourhood_size: int = 1) -> int:
@@ -258,7 +289,7 @@ class LatticeStructure:
                 srt = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
                 return srt[: dp - 1] + (srt[dp - 1], srt[dp])
 
-            out_cols = lax.cond(kmax < half - 1, _folded, _plain, None)
+            out_cols = _cond_general(kmax < half - 1, _folded, _plain, None)
             sorted_ = out_cols
         else:
             sorted_ = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
@@ -462,10 +493,12 @@ def _dedup_build(
                 return srt[:-1] + (k_s, ord_s.astype(jnp.int32))
 
             def _sort_plain(_):
-                srt = lax.sort(cols + (payload,), num_keys=dp)
+                # stable => ties keep input (payload-ascending) order, matching
+                # the folded branch's (key, payload) lex order bit-for-bit
+                srt = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
                 return srt[: dp - 1] + (srt[dp - 1], srt[dp])
 
-            out_cols = lax.cond(packable, _sort_folded, _sort_plain, None)
+            out_cols = _cond_general(packable, _sort_folded, _sort_plain, None)
             sorted_ops = out_cols[:dp]
             order = out_cols[dp]
         else:
@@ -905,7 +938,7 @@ def _canonical_fast_build(
         )
         return structure, splat_idx, edges
 
-    structure, splat_idx, edges = lax.cond(overflow_runs == 0, _fast, _slow, None)
+    structure, splat_idx, edges = _cond_general(overflow_runs == 0, _fast, _slow, None)
     return structure, splat_idx, bary, edges, runs
 
 
@@ -1146,7 +1179,7 @@ def build_hierarchy(
                     need_point_maps=False,
                 )[0]
 
-            s = lax.cond(
+            s = _cond_general(
                 rep_overflow == 0, _reduced, _full, (bary_elev, rep_valid)
             )
             structures.append(s)

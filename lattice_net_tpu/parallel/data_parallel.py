@@ -28,7 +28,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lattice_net_tpu.lattice.structure import build_hierarchy
+from lattice_net_tpu.lattice.structure import build_hierarchy, static_general_branches
 from lattice_net_tpu.losses import segmentation_loss
 
 try:  # jax >= 0.6 exposes shard_map at top level
@@ -166,9 +166,13 @@ def make_loss_fn(
             losses = loss1[None]
             aux = jax.tree.map(lambda x: jnp.asarray(x)[None], aux1)
         else:
-            losses, aux = jax.vmap(
-                lambda p, v, t, m, r: per_cloud(params, p, v, t, m, r, train)
-            )(batch["positions"], batch["values"], batch["target"], batch["point_mask"], rngs)
+            # under vmap every build lax.cond would execute BOTH branches
+            # (select lowering); collapse them to the general branch at trace
+            # time — identical outputs, one branch's cost
+            with static_general_branches():
+                losses, aux = jax.vmap(
+                    lambda p, v, t, m, r: per_cloud(params, p, v, t, m, r, train)
+                )(batch["positions"], batch["values"], batch["target"], batch["point_mask"], rngs)
         correct, valid, nr_verts, overflow, inter, union, nr_points = aux
         # *_mean metrics average over ALL batch slots, including dummy padding
         # slots (masked-out clouds that build ~0 vertices): consumers comparing

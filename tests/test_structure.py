@@ -547,3 +547,26 @@ def test_merged_lookup_tables_identical(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(h_ref.neighbors_finefy, h_mrg.neighbors_finefy):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_static_general_branches_bitexact(rng):
+    """static_general_branches() must trace the general branch of every
+    fast-path cond and produce BIT-IDENTICAL hierarchies (the fast branches
+    are shortcuts, not approximations): key tables, splat maps, neighbour
+    tables, edge streams all equal."""
+    pts = jnp.asarray(_cloud(rng, n=512))
+    caps = (2048, 1024, 512)
+
+    h_fast = jax.jit(lambda p: st.build_hierarchy(p, 0.5, 2, caps))(pts)
+
+    with st.static_general_branches():
+        h_gen = jax.jit(lambda p: st.build_hierarchy(p, 0.5, 2, caps))(pts)
+
+    for a, b in zip(jax.tree_util.tree_leaves(h_fast), jax.tree_util.tree_leaves(h_gen)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the context must restore: outside, conds trace again (smoke: rebuild)
+    h2 = jax.jit(lambda p: st.build_hierarchy(p, 0.5, 2, caps))(pts)
+    np.testing.assert_array_equal(
+        np.asarray(h2.splat_idx), np.asarray(h_fast.splat_idx)
+    )
