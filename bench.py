@@ -34,11 +34,11 @@ parity-tested because the trade may flip at other densities):
     dedup fast build in the train step: 266.6 vs 251.4 ms/step — the fast
     build's EdgeSort-reconstruction scatters cost more than the saved sort
     volume even with the reorder free.
-  LNT_LOVASZ_SORTVJP=1 / LNT_LOVASZ_CONDSKIP=1 / LNT_LOVASZ_PACKED=1 —
-    alternative Lovász formulations for the train half (sort-unsort
-    backward; per-class lax.cond skipping absent classes' sorts at runtime;
-    single-int32-key packed sort with sort-unsort backward).  Grad/value
-    parity tested; on-chip A/Bs pending.
+  LNT_LOVASZ=batched|sortvjp|condskip — alternative Lovász formulations
+    for the train half (round-1 batched f32 sort with AD backward;
+    sort-unsort backward; per-class lax.cond skipping absent classes'
+    sorts at runtime).  The default is the packed single-int32-key sort,
+    promoted after the round-2 in-program A/B: 116.9 -> 102.2 ms/step.
   LNT_MERGED_LOOKUP=1 — one [table; queries] sort per fine level shared
     between the same-level and coarsen neighbour lookups (affects both
     halves).  Bit-identical tables (tested); on-chip A/B pending.

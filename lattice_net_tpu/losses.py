@@ -193,7 +193,7 @@ def _lovasz_from_errors_condskip(errors, gt, validf, w):
     Trade-offs: the per-class sorts run SEQUENTIALLY (scan), so with most
     classes present this loses to the batched sort; and under ``vmap`` the
     cond degenerates to running both branches for every class, strictly
-    worse.  Opt-in (``LNT_LOVASZ_CONDSKIP=1``) for the single-cloud train
+    worse.  Opt-in (``LNT_LOVASZ=condskip``) for the single-cloud train
     path, pending the on-chip A/B.  Backward uses the sort-unsort VJP
     (identical grads to AD; tested in ``tests/test_losses.py``).
     """
@@ -225,23 +225,27 @@ def lovasz_softmax(
     descending and dotted with the Lovász gradient; the mean is over classes
     present in the sample (absent classes carry no penalty).
 
-    All classes sort in ONE batched multi-operand ``lax.sort`` that carries
-    gt/valid along as payload operands — the earlier per-class
-    argsort-then-gather formulation dispatched 2 batched (C, N) gathers per
-    class and dominated the whole train step at KITTI scale.
+    The DEFAULT formulation is the packed single-key sort: (error bits, gt,
+    valid) fold into ONE int32 sort key (see :func:`_pack_lovasz_key`) — the
+    forward sort carries 2 int32 operands (key + unsort permutation) instead
+    of 3-4 f32, and the backward unsorts with a second 2-operand sort rather
+    than AD's (C, N) permutation scatter.  Promoted to default after the
+    round-2 on-chip in-program A/B: full train step 116.9 -> 102.2 ms at
+    KITTI scale (docs/runs/bench_r2_bypass_packed.log).  Loss values are
+    tie-order invariant and match the batched formulation to float rounding;
+    per-entry gradients at exact error ties pick a different valid
+    subgradient (tested).
 
-    ``LNT_LOVASZ_SORTVJP=1`` (opt-in pending an on-chip A/B) swaps the
-    backward's (C, N) permutation scatter — AD's transpose of the sort —
-    for a second (C, N) 2-operand sort; gradients are identical (tested to
-    1e-6 in ``tests/test_losses.py``).
-
-    ``LNT_LOVASZ_PACKED=1`` (opt-in pending an on-chip A/B) folds (error
-    bits, gt, valid) into ONE int32 sort key (see :func:`_pack_lovasz_key`)
-    — the forward sort carries 2 int32 operands (key + unsort permutation)
-    instead of 3-4 f32, and the backward is the same sort-unsort as
-    SORTVJP.  Loss values are tie-order invariant and match the batched
-    formulation to float rounding; per-entry gradients at exact error ties
-    pick a different valid subgradient (tested).
+    ``LNT_LOVASZ`` selects a measured alternative for A/Bs:
+      * ``packed`` (default) — as above.
+      * ``batched`` — one multi-operand f32 ``lax.sort`` carrying gt/valid
+        as payloads, plain AD backward (scatter); the round-1 default.
+      * ``sortvjp`` — ``batched`` forward + sort-unsort custom VJP
+        (identical grads to AD, tested to 1e-6); dominated by ``packed``
+        on-chip (B3 102.5 vs B4 100.1 ms) but kept as the AD-exact variant.
+      * ``condskip`` — per-class ``lax.cond`` skips absent classes' sorts at
+        runtime (the reference's dynamic skip, ``lovasz_loss.py:49-51``);
+        wins only when most classes are absent AND the caller is not vmapped.
     """
     n, nr_classes = log_probs.shape
     probs = jnp.exp(log_probs)
@@ -258,13 +262,16 @@ def lovasz_softmax(
     present = jnp.sum(gt, axis=-1) > 0
     is_ignored = classes == ignore_index
     w = present.astype(probs.dtype) * (1.0 - is_ignored.astype(probs.dtype))
-    if os.environ.get("LNT_LOVASZ_CONDSKIP", "0") == "1":
+    variant = os.environ.get("LNT_LOVASZ", "packed")
+    if variant == "condskip":
         return _lovasz_from_errors_condskip(errors, gt, validf, w)
-    if os.environ.get("LNT_LOVASZ_SORTVJP", "0") == "1":
+    if variant == "sortvjp":
         return _lovasz_from_errors_sortvjp(errors, gt, validf, w)
-    if os.environ.get("LNT_LOVASZ_PACKED", "0") == "1":
-        return _lovasz_from_errors_packed(errors, gt, valid, w)
-    return _lovasz_from_errors(errors, gt, validf, w)
+    if variant == "batched":
+        return _lovasz_from_errors(errors, gt, validf, w)
+    if variant != "packed":
+        raise ValueError(f"LNT_LOVASZ={variant!r}: expected packed|batched|sortvjp|condskip")
+    return _lovasz_from_errors_packed(errors, gt, valid, w)
 
 
 def nll_loss(

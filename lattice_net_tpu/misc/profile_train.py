@@ -128,7 +128,10 @@ def main():
         # the only thing XLA cannot DCE, and returning just the loss would delete
         # the entire backward pass from the compiled program (verified on the HLO
         # — the loss alone depends only on the forward).
-        # B: full grad
+        # B: full grad.  Pinned to the round-1 batched Lovász so the row keeps
+        # its historical meaning across rounds (the production default is
+        # 'packed' since round 2 — that's the B4 row).
+        _os.environ["LNT_LOVASZ"] = "batched"
         f_grad = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos))
         b = timeit("B value_and_grad (build inside)", f_grad, params, positions)
 
@@ -136,19 +139,19 @@ def main():
         b2 = timeit("B2 value_and_grad, NLL only", f_grad_nll, params, positions)
 
         # B3: same full loss but the Lovász backward routes through a second
-        # sort instead of AD's permutation scatter (LNT_LOVASZ_SORTVJP=1; the
+        # sort instead of AD's permutation scatter (LNT_LOVASZ=sortvjp; the
         # env var is read at TRACE time, so set it around the jit closure)
-        _os.environ["LNT_LOVASZ_SORTVJP"] = "1"
+        _os.environ["LNT_LOVASZ"] = "sortvjp"
         f_grad_sv = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos))
         b3 = timeit("B3 value_and_grad, sort-unsort Lovász VJP", f_grad_sv, params, positions)
-        _os.environ.pop("LNT_LOVASZ_SORTVJP", None)
 
-        # B4: packed single-key Lovász — (error bits, gt, valid) folded into ONE
-        # int32 sort operand, sort-unsort backward (LNT_LOVASZ_PACKED=1)
-        _os.environ["LNT_LOVASZ_PACKED"] = "1"
+        # B4: packed single-key Lovász — (error bits, gt, valid) folded into
+        # ONE int32 sort operand, sort-unsort backward (the DEFAULT since the
+        # round-2 A/B; B rows above use the round-1 batched formulation)
+        _os.environ["LNT_LOVASZ"] = "packed"
         f_grad_pk = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos))
         b4 = timeit("B4 value_and_grad, packed single-key Lovász", f_grad_pk, params, positions)
-        _os.environ.pop("LNT_LOVASZ_PACKED", None)
+        _os.environ.pop("LNT_LOVASZ", None)
 
         # B5: merged neighbour lookups — one [table; queries] sort per fine level
         # shared between same-level and coarsen tables (LNT_MERGED_LOOKUP=1)

@@ -100,9 +100,9 @@ def test_dice_bounds(rng):
 
 
 def test_lovasz_sortvjp_grads_match_ad(rng, monkeypatch):
-    # the opt-in sort-based VJP (LNT_LOVASZ_SORTVJP=1) must produce the SAME
-    # gradient as plain AD through lax.sort (both treat the permutation as
-    # constant); exercises ties (duplicated rows) and ignored/masked points
+    # the sort-based VJP (LNT_LOVASZ=sortvjp) must produce the SAME gradient
+    # as plain AD through lax.sort (both treat the permutation as constant);
+    # exercises ties (duplicated rows) and ignored/masked points
     import jax
 
     n, c = 400, 5
@@ -118,9 +118,9 @@ def test_lovasz_sortvjp_grads_match_ad(rng, monkeypatch):
             point_mask=jnp.asarray(mask),
         )
 
-    monkeypatch.delenv("LNT_LOVASZ_SORTVJP", raising=False)
+    monkeypatch.setenv("LNT_LOVASZ", "batched")
     l_ad, g_ad = jax.value_and_grad(f)(jnp.asarray(lp))
-    monkeypatch.setenv("LNT_LOVASZ_SORTVJP", "1")
+    monkeypatch.setenv("LNT_LOVASZ", "sortvjp")
     l_sv, g_sv = jax.value_and_grad(f)(jnp.asarray(lp))
     np.testing.assert_allclose(float(l_ad), float(l_sv), rtol=1e-7)
     np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_sv), rtol=1e-6, atol=1e-8)
@@ -140,7 +140,7 @@ def test_nll_onehot_bit_exact(rng):
 
 
 def test_lovasz_condskip_matches_batched(rng, monkeypatch):
-    # the opt-in per-class cond-skip path (LNT_LOVASZ_CONDSKIP=1) must match
+    # the per-class cond-skip path (LNT_LOVASZ=condskip) must match
     # the batched sort formulation in VALUE and GRADIENT, including classes
     # absent from the sample (their cond branch never sorts), sort ties, and
     # ignored/masked points
@@ -160,10 +160,9 @@ def test_lovasz_condskip_matches_batched(rng, monkeypatch):
             point_mask=jnp.asarray(mask),
         )
 
-    monkeypatch.delenv("LNT_LOVASZ_CONDSKIP", raising=False)
-    monkeypatch.delenv("LNT_LOVASZ_SORTVJP", raising=False)
+    monkeypatch.setenv("LNT_LOVASZ", "batched")
     l_ad, g_ad = jax.value_and_grad(f)(jnp.asarray(lp))
-    monkeypatch.setenv("LNT_LOVASZ_CONDSKIP", "1")
+    monkeypatch.setenv("LNT_LOVASZ", "condskip")
     l_cs, g_cs = jax.value_and_grad(f)(jnp.asarray(lp))
     np.testing.assert_allclose(float(l_ad), float(l_cs), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_cs), rtol=1e-6, atol=1e-8)
@@ -171,7 +170,7 @@ def test_lovasz_condskip_matches_batched(rng, monkeypatch):
 
 
 def test_lovasz_packed_matches_batched(rng, monkeypatch):
-    # the opt-in single-key packed sort (LNT_LOVASZ_PACKED=1) folds
+    # the packed single-key sort (LNT_LOVASZ=packed, the DEFAULT) folds
     # (error bits, gt, valid) into one int32 operand; the LOSS is tie-order
     # invariant (the err*grad dot telescopes over tie blocks), so it must
     # match the batched 3-operand formulation on any input.  Gradients are
@@ -191,10 +190,9 @@ def test_lovasz_packed_matches_batched(rng, monkeypatch):
             point_mask=jnp.asarray(mask),
         )
 
-    monkeypatch.delenv("LNT_LOVASZ_PACKED", raising=False)
-    monkeypatch.delenv("LNT_LOVASZ_SORTVJP", raising=False)
+    monkeypatch.setenv("LNT_LOVASZ", "batched")
     l_ad, g_ad = jax.value_and_grad(f)(jnp.asarray(lp))
-    monkeypatch.setenv("LNT_LOVASZ_PACKED", "1")
+    monkeypatch.setenv("LNT_LOVASZ", "packed")
     l_pk, g_pk = jax.value_and_grad(f)(jnp.asarray(lp))
     np.testing.assert_allclose(float(l_ad), float(l_pk), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_pk), rtol=1e-5, atol=1e-8)
@@ -204,9 +202,9 @@ def test_lovasz_packed_matches_batched(rng, monkeypatch):
     # and the packed gradient must remain a finite nonzero subgradient
     lp2 = lp.copy()
     lp2[50:60] = lp2[40:50]
-    monkeypatch.delenv("LNT_LOVASZ_PACKED", raising=False)
+    monkeypatch.setenv("LNT_LOVASZ", "batched")
     l_ad2 = f(jnp.asarray(lp2))
-    monkeypatch.setenv("LNT_LOVASZ_PACKED", "1")
+    monkeypatch.setenv("LNT_LOVASZ", "packed")
     l_pk2, g_pk2 = jax.value_and_grad(f)(jnp.asarray(lp2))
     np.testing.assert_allclose(float(l_ad2), float(l_pk2), rtol=1e-6)
     assert np.isfinite(np.asarray(g_pk2)).all()
