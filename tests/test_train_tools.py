@@ -272,3 +272,29 @@ def test_unstripe_predictions_roundtrip():
     lab_s = np.where(np.asarray(ids_s) >= 0, np.asarray(ids_s), 0)
     out = unstripe_predictions(lab_s, ids_s, n)
     np.testing.assert_array_equal(out, np.arange(n))
+
+
+def test_eval_stream_pipeline(capsys):
+    """Streaming harness end-to-end on CPU: tiny clouds, a fast clock; must
+    report compute-only + H2D + end-to-end rows and one latency per scan,
+    with labels never shipped to the device (the predict batch has exactly
+    positions/values/point_mask)."""
+    from lattice_net_tpu.train.ln_eval_stream import run
+
+    lat = run(
+        "config/ln_eval_stream.cfg",
+        rate_hz=1000.0,  # no artificial pacing on CPU
+        nr_scans=4,
+        overrides=[
+            "loader_synth_kitti.nr_samples=4",
+            "loader_synth_kitti.n_points=2048",
+            "lattice_gpu.hash_table_capacity=4096",
+            "eval.checkpoint_path=",
+        ],
+    )
+    assert len(lat) == 4
+    assert np.isfinite(lat).all()
+    out = capsys.readouterr().out
+    assert "compute-only latency" in out
+    assert "end-to-end latency" in out
+    assert "H2D per scan" in out
