@@ -39,9 +39,10 @@ parity-tested because the trade may flip at other densities):
     sort-unsort backward; per-class lax.cond skipping absent classes'
     sorts at runtime).  The default is the packed single-int32-key sort,
     promoted after the round-2 in-program A/B: 116.9 -> 102.2 ms/step.
-  LNT_MERGED_LOOKUP=1 — one [table; queries] sort per fine level shared
-    between the same-level and coarsen neighbour lookups (affects both
-    halves).  Bit-identical tables (tested); on-chip A/B pending.
+  LNT_MERGED_LOOKUP=0 — disable the merged neighbour lookups (one
+    [table; queries] sort per fine level shared between the same-level and
+    coarsen lookups; bit-identical tables).  Default ON since the round-2
+    A/B: inference 55.1 -> 54.1 ms, train step 102.2 -> 100.3 ms.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
 "train_step_ms", "train_steps_per_sec", ...}.

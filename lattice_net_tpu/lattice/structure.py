@@ -704,9 +704,11 @@ def _build_neighbor_tables_merged(structures):
     level i+1's coarsen-patch queries (C_{i+1} * (2(d+1)+1)) resolve against
     the SAME sorted table ``structures[i]``; concatenating them shares one
     [table; queries] sort instead of two — saving a sort dispatch and a
-    duplicate pass over the table per level.  Opt-in via LNT_MERGED_LOOKUP=1
-    pending the on-chip in-program A/B (isolated stage timings are not
-    trustworthy over the axon tunnel, see CLAUDE.md).
+    duplicate pass over the table per level.  DEFAULT since the round-2
+    on-chip in-program A/B (inference 55.1 -> 54.1 ms, train step 102.2 ->
+    100.3 ms at KITTI scale, docs/runs/bench_r2_merged.log); disable with
+    LNT_MERGED_LOOKUP=0 for A/Bs.  Tables are bit-identical to the separate
+    builds (tests/test_structure.py::test_merged_lookup_tables_identical).
     """
     nr_levels = len(structures) - 1
     same, coarsen = [], []
@@ -1217,7 +1219,7 @@ def build_hierarchy(
         if lvl == 0:
             _, splat_idx, splat_w, edges = out
 
-    if os.environ.get("LNT_MERGED_LOOKUP", "0") == "1":
+    if os.environ.get("LNT_MERGED_LOOKUP", "1") == "1":
         neighbors_same, neighbors_coarsen = _build_neighbor_tables_merged(structures)
     else:
         neighbors_same = tuple(build_neighbors_same_level(s) for s in structures)

@@ -112,6 +112,13 @@ def main():
     a = a2 = a3 = b = b2 = b3 = b4 = b5 = c = d = None
     e = e2 = e3 = f_row = None
 
+    import os as _os
+
+    # A/B rows pin the round-1 defaults (separate lookups) so their meaning
+    # stays stable across rounds; B5/A3 measure the merged lookups that are
+    # the production default since round 2.
+    _os.environ["LNT_MERGED_LOOKUP"] = "0"
+
     if "A" in rows:
         # A: forward loss
         f_fwd = jax.jit(lambda p, pos: loss_of(p, pos))
@@ -120,8 +127,6 @@ def main():
         # A2/B2: same without the Lovász term — attributes the batched-sort loss
         f_fwd_nll = jax.jit(lambda p, pos: loss_nll_only(p, pos))
         a2 = timeit("A2 forward loss, NLL only (no Lovász)", f_fwd_nll, params, positions)
-
-    import os as _os
 
     if "B" in rows:
         # Grad stages must RETURN the grads: a jitted program's unused outputs are
@@ -153,14 +158,18 @@ def main():
         b4 = timeit("B4 value_and_grad, packed single-key Lovász", f_grad_pk, params, positions)
         _os.environ.pop("LNT_LOVASZ", None)
 
-        # B5: merged neighbour lookups — one [table; queries] sort per fine level
-        # shared between same-level and coarsen tables (LNT_MERGED_LOOKUP=1)
+        # B5: merged neighbour lookups — one [table; queries] sort per fine
+        # level shared between same-level and coarsen tables (the production
+        # default since round 2; A/B rows above run them separate)
         _os.environ["LNT_MERGED_LOOKUP"] = "1"
         f_grad_ml = jax.jit(lambda p, pos: jax.value_and_grad(loss_of)(p, pos))
         b5 = timeit("B5 value_and_grad, merged neighbour lookups", f_grad_ml, params, positions)
         f_fwd_ml = jax.jit(lambda p, pos: loss_of(p, pos))
         a3 = timeit("A3 forward loss, merged neighbour lookups", f_fwd_ml, params, positions)
-        _os.environ.pop("LNT_MERGED_LOOKUP", None)
+        _os.environ["LNT_MERGED_LOOKUP"] = "0"
+
+    # E/C/D rows measure the production defaults (merged lookups on)
+    _os.environ.pop("LNT_MERGED_LOOKUP", None)
 
     if "E" in rows:
         # ----- E rows: attribute the full-train-step gap over B ------------

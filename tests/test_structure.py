@@ -530,14 +530,15 @@ def test_make_batch_canonical_matches_plain_loss(rng):
 
 
 def test_merged_lookup_tables_identical(rng, monkeypatch):
-    # LNT_MERGED_LOOKUP=1 shares one [table; queries] sort per fine level
-    # between the same-level and coarsen lookups; every neighbour table must
-    # be bit-identical to the per-call path, including with padding points
+    # the merged lookups (default since round 2) share one [table; queries]
+    # sort per fine level between the same-level and coarsen lookups; every
+    # neighbour table must be bit-identical to the per-call path
+    # (LNT_MERGED_LOOKUP=0), including with padding points
     pts = _cloud(rng, 3000)
     mask = np.ones(3000, bool)
     mask[2500:] = False
     caps = (4096, 2048, 1024)
-    monkeypatch.delenv("LNT_MERGED_LOOKUP", raising=False)
+    monkeypatch.setenv("LNT_MERGED_LOOKUP", "0")
     h_ref = st.build_hierarchy(jnp.asarray(pts), 0.4, 2, caps, point_mask=jnp.asarray(mask))
     monkeypatch.setenv("LNT_MERGED_LOOKUP", "1")
     h_mrg = st.build_hierarchy(jnp.asarray(pts), 0.4, 2, caps, point_mask=jnp.asarray(mask))
