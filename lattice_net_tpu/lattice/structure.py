@@ -65,6 +65,31 @@ __all__ = [
 # sentinel key column value; sorts after every real coordinate.
 SENTINEL = np.iinfo(np.int32).max
 
+
+def _lex_sort(operands, num_keys=None, is_stable=False):
+    """Build sort dispatcher with an opt-in Pallas bitonic kernel.
+
+    Every build sort's requested order equals FULL-lex over its int32
+    operands (payloads are folded into a key column or appended as the
+    unique last operand, so full-lex == the stable order the dedup relies
+    on).  ``LNT_PALLAS_SORT=1`` routes eligible sizes to the VMEM-resident
+    bitonic network in ``ops_tpu/sort.py`` (TPU only — bit-exact, A/B'd
+    in-program on the chip); the default is the original
+    ``lax.sort(ops, num_keys, is_stable)`` call, HLO-identical to before
+    this dispatcher existed.
+    """
+    operands = tuple(operands)
+    if os.environ.get("LNT_PALLAS_SORT", "0") == "1":
+        from lattice_net_tpu.ops_tpu.sort import sort_lex, sort_supported
+
+        if all(o.dtype == jnp.int32 for o in operands) and sort_supported(
+            operands[0].shape[0], len(operands)
+        ):
+            return sort_lex(operands)
+    if num_keys is None:
+        num_keys = len(operands)
+    return lax.sort(operands, num_keys=num_keys, is_stable=is_stable)
+
 # Trace-time switch: under jax.vmap a lax.cond lowers to a select that
 # executes BOTH branches per element, so every data-dependent fast path in
 # the build (folded sorts, simplex-reduced coarse levels) would run ON TOP
@@ -277,7 +302,7 @@ class LatticeStructure:
                 p2k = jnp.where(
                     valid0, (solo + half) * jnp.int32(1 << bits_p) + payload, SENTINEL
                 )
-                srt = lax.sort(cols[:-1] + (p2k,), num_keys=dp)
+                srt = _lex_sort(cols[:-1] + (p2k,))
                 c_last = srt[-1]
                 sval = c_last != SENTINEL
                 k_s = jnp.where(sval, (c_last >> bits_p) - half, SENTINEL)
@@ -286,13 +311,14 @@ class LatticeStructure:
                 return srt[:-1] + (k_s, ord_s.astype(jnp.int32))
 
             def _plain(_):
-                srt = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
+                # unique ascending payload as last operand: full-lex == stable
+                srt = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True)
                 return srt[: dp - 1] + (srt[dp - 1], srt[dp])
 
             out_cols = _cond_general(kmax < half - 1, _folded, _plain, None)
             sorted_ = out_cols
         else:
-            sorted_ = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
+            sorted_ = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True)
         sid = sorted_[dp]
 
         # last table row at-or-before each position (table ids ascend with key)
@@ -485,7 +511,7 @@ def _dedup_build(
                 p2k = jnp.where(
                     valid0, (solo + half) * jnp.int32(1 << bits_p) + payload, SENTINEL
                 )
-                srt = lax.sort(cols[:-1] + (p2k,), num_keys=dp)
+                srt = _lex_sort(cols[:-1] + (p2k,))
                 c_last = srt[-1]
                 sval = c_last != SENTINEL
                 k_s = jnp.where(sval, (c_last >> bits_p) - half, SENTINEL)
@@ -493,20 +519,21 @@ def _dedup_build(
                 return srt[:-1] + (k_s, ord_s.astype(jnp.int32))
 
             def _sort_plain(_):
-                # stable => ties keep input (payload-ascending) order, matching
-                # the folded branch's (key, payload) lex order bit-for-bit
-                srt = lax.sort(cols + (payload,), num_keys=dp, is_stable=True)
+                # unique ascending payload as the last lex operand == stable
+                # sort on the key columns, matching the folded branch's
+                # (key, payload) lex order bit-for-bit
+                srt = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True)
                 return srt[: dp - 1] + (srt[dp - 1], srt[dp])
 
             out_cols = _cond_general(packable, _sort_folded, _sort_plain, None)
             sorted_ops = out_cols[:dp]
             order = out_cols[dp]
         else:
-            srt = lax.sort(cols + (payload,), num_keys=dp)
+            srt = _lex_sort(cols + (payload,), num_keys=dp)
             sorted_ops = srt[:dp]
             order = srt[dp]
     else:
-        sorted_ops = lax.sort(cols, num_keys=dp)
+        sorted_ops = _lex_sort(cols)
     spacked = jnp.stack(sorted_ops[:dp], axis=-1)  # (m, dp) sorted
 
     svalid = spacked[:, 0] != SENTINEL

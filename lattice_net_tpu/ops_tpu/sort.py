@@ -133,15 +133,18 @@ def sort_supported(n: int, n_ops: int = 2) -> bool:
     return npad <= max_elems(n_ops)
 
 
-def sort_lex(operands, interpret: bool = False):
+def sort_lex(operands, interpret: bool | None = None):
     """Full-lex ascending sort of a tuple of int32 arrays (all are keys).
 
     Drop-in for ``lax.sort(operands, num_keys=len(operands))``.  Falls back
     to ``lax.sort`` beyond the VMEM budget.  Padding rows are all-INT32_MAX
     and sort past every real row (real first operands must stay below
-    INT32_MAX — true for the build's packed/folded keys).
+    INT32_MAX — true for the build's packed/folded keys).  ``interpret``
+    defaults to the Pallas interpreter on CPU (tests) and Mosaic on TPU.
     """
     operands = tuple(operands)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n = operands[0].shape[0]
     n_ops = len(operands)
     if not sort_supported(n, n_ops):
