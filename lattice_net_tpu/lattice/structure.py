@@ -66,7 +66,15 @@ __all__ = [
 SENTINEL = np.iinfo(np.int32).max
 
 
-def _lex_sort(operands, num_keys=None, is_stable=False):
+# Read ONCE at import (not per trace): the flag is not part of any jit cache
+# key, so flipping the env var mid-process after a build has been traced
+# would silently compare identical programs in an A/B.  A module constant
+# makes the only supported toggle (set before process start / first import)
+# explicit.  A/B runs are separate processes anyway.
+_PALLAS_SORT = os.environ.get("LNT_PALLAS_SORT", "0") == "1"
+
+
+def _lex_sort(operands, num_keys=None, is_stable=False, unique_payload=False):
     """Build sort dispatcher with an opt-in Pallas bitonic kernel.
 
     Every build sort's requested order equals FULL-lex over its int32
@@ -77,9 +85,19 @@ def _lex_sort(operands, num_keys=None, is_stable=False):
     in-program on the chip); the default is the original
     ``lax.sort(ops, num_keys, is_stable)`` call, HLO-identical to before
     this dispatcher existed.
+
+    The Pallas network is FULL-lex only: it honours ``num_keys <
+    len(operands)`` / ``is_stable`` solely when the caller declares
+    ``unique_payload=True`` (the trailing non-key operands form a unique
+    ascending tiebreak, so full-lex == the requested stable partial-key
+    sort).  Call sites without that guarantee keep ``lax.sort`` semantics
+    unconditionally.
     """
     operands = tuple(operands)
-    if os.environ.get("LNT_PALLAS_SORT", "0") == "1":
+    full_lex_ok = (
+        num_keys is None or num_keys == len(operands) or unique_payload
+    )
+    if _PALLAS_SORT and full_lex_ok:
         from lattice_net_tpu.ops_tpu.sort import sort_lex, sort_supported
 
         if all(o.dtype == jnp.int32 for o in operands) and sort_supported(
@@ -312,13 +330,13 @@ class LatticeStructure:
 
             def _plain(_):
                 # unique ascending payload as last operand: full-lex == stable
-                srt = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True)
+                srt = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True, unique_payload=True)
                 return srt[: dp - 1] + (srt[dp - 1], srt[dp])
 
             out_cols = _cond_general(kmax < half - 1, _folded, _plain, None)
             sorted_ = out_cols
         else:
-            sorted_ = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True)
+            sorted_ = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True, unique_payload=True)
         sid = sorted_[dp]
 
         # last table row at-or-before each position (table ids ascend with key)
@@ -522,14 +540,14 @@ def _dedup_build(
                 # unique ascending payload as the last lex operand == stable
                 # sort on the key columns, matching the folded branch's
                 # (key, payload) lex order bit-for-bit
-                srt = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True)
+                srt = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True, unique_payload=True)
                 return srt[: dp - 1] + (srt[dp - 1], srt[dp])
 
             out_cols = _cond_general(packable, _sort_folded, _sort_plain, None)
             sorted_ops = out_cols[:dp]
             order = out_cols[dp]
         else:
-            srt = _lex_sort(cols + (payload,), num_keys=dp)
+            srt = _lex_sort(cols + (payload,), num_keys=dp, unique_payload=True)
             sorted_ops = srt[:dp]
             order = srt[dp]
     else:

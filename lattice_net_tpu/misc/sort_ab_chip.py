@@ -1,0 +1,117 @@
+"""On-chip verification + A/B of the Pallas VMEM bitonic sort vs lax.sort.
+
+Three questions, per (n_rows, n_operands) shape the build actually sorts
+(VERDICT r2 item 2 / ADVICE r2 item 1):
+
+  1. does the Mosaic kernel COMPILE at this size (VMEM budget is analytic
+     only until verified here)?
+  2. is it bit-identical to ``lax.sort(ops, num_keys=len(ops))``?
+  3. is it faster, measured with CHAINED dispatch (the axon runtime skips
+     repeated identical dispatches — CLAUDE.md)?
+
+Shapes: the KITTI-scale build's sorts are 524288 = 2^19 rows x 2-3 operands
+(L0 edge sort / merged lookups, folded vs plain branches) and smaller coarse
+merges; 2^20 x 2 probes whether the cap can be raised.
+
+Run ON THE CHIP (only one process may hold it):
+    python -m lattice_net_tpu.misc.sort_ab_chip
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from lattice_net_tpu.ops_tpu import sort as sk
+
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+
+    shapes = [
+        (1 << 18, 2),
+        (1 << 19, 2),
+        (1 << 19, 3),
+        (1 << 18, 4),
+        (1 << 20, 2),  # above current cap — probes whether it can be raised
+        (1 << 20, 3),
+        (1 << 19, 4),
+    ]
+
+    first_row = [True]
+
+    def timeit(fn, ops):
+        """Chained: thread a zero int derived from the output into operand 0."""
+        out = fn(ops)
+        jax.block_until_ready(out)
+        n_loops = 2 if first_row[0] else 1
+        first_row[0] = False
+        best = 1e18
+        for _ in range(max(n_loops, args.repeats)):
+            t0 = time.perf_counter()
+            cur = ops
+            for _ in range(args.iters):
+                out = fn(cur)
+                fb = out[0][0] * 0  # data dependency, numerically zero
+                cur = (ops[0] + fb,) + ops[1:]
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / args.iters * 1000.0)
+        return best
+
+    for n, n_ops in shapes:
+        rng = np.random.default_rng(n + n_ops)
+        # first operand bounded below INT32_MAX (the sort's padding contract);
+        # mimic packed keys: large but safe range
+        ops = tuple(
+            jnp.asarray(
+                rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32)
+            )
+            for _ in range(n_ops)
+        )
+
+        lax_fn = jax.jit(lambda o, k=n_ops: jax.lax.sort(o, num_keys=k))
+        t_lax = timeit(lax_fn, ops)
+
+        # force-eligible: bypass max_elems to measure true compile limit
+        npad = max(1024, 1 << (n - 1).bit_length())
+        try:
+            padded = ops if npad == n else tuple(
+                jnp.pad(x, (0, npad - n), constant_values=np.iinfo(np.int32).max)
+                for x in ops
+            )
+            pallas_fn = jax.jit(
+                lambda o: sk._bitonic_sort_pow2(o, interpret=False)
+            )
+            outs = pallas_fn(padded)
+            jax.block_until_ready(outs)
+            ref = jax.lax.sort(padded, num_keys=n_ops)
+            ok = all(
+                bool(jnp.all(a == b)) for a, b in zip(outs, ref)
+            )
+            t_pal = timeit(pallas_fn, padded)
+            print(
+                f"n=2^{n.bit_length()-1} ops={n_ops}: lax {t_lax:7.3f} ms  "
+                f"pallas {t_pal:7.3f} ms  bitexact={ok}  "
+                f"speedup {t_lax / t_pal:5.2f}x"
+            )
+        except Exception as e:  # Mosaic compile failure = over VMEM budget
+            msg = str(e).splitlines()[0][:120]
+            print(
+                f"n=2^{n.bit_length()-1} ops={n_ops}: lax {t_lax:7.3f} ms  "
+                f"pallas COMPILE-FAIL ({msg})"
+            )
+
+
+if __name__ == "__main__":
+    main()

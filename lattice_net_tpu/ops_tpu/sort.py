@@ -47,10 +47,16 @@ _INT32_MAX = jnp.iinfo(jnp.int32).max
 def max_elems(n_ops: int) -> int:
     """Largest padded row count the VMEM-resident network accepts.
 
-    Live set is n_ops arrays + ~2 partner temporaries of the padded size:
-    2 ops @ 2^20 = 8 MB live (+temps) fits ~16 MB VMEM; 3+ ops drop to 2^19.
+    VMEM budget (~16 MB/core), counting EVERYTHING live inside a pass:
+    n_ops operand arrays + n_ops selected partners + the two (S, 128)
+    int32 iotas + per-pass bool masks (high/desc/less/eq, 1/8 the int32
+    footprint each) + transient lo/hi rolls.  At 2^19 rows: 2 ops = 2+2+2
+    = ~6 MB (+transients); 3 ops = 3+3+2 = ~8 MB (+transients) — both
+    fit.  2^20 with 2 ops = 8+8 MB + iotas would NOT, so the cap is 2^19
+    for <=2 ops and 2^18 beyond until chip-verified otherwise
+    (ADVICE r2 item 1).  Chip verification may raise these.
     """
-    return (1 << 20) if n_ops <= 2 else (1 << 19)
+    return (1 << 19) if n_ops <= 2 else (1 << 18)
 
 
 def _bit(iota_lane, iota_sub, j):
@@ -158,12 +164,15 @@ def sort_lex(operands, interpret: bool | None = None):
     return tuple(o[:n] for o in outs)
 
 
-def sort_pairs(keys, vals, interpret: bool = False):
-    """Sort int32 (keys, vals) lexicographically, ascending (2-operand)."""
+def sort_pairs(keys, vals, interpret: bool | None = None):
+    """Sort int32 (keys, vals) lexicographically, ascending (2-operand).
+
+    ``interpret=None`` auto-detects like ``sort_lex`` (interpreter on CPU).
+    """
     return sort_lex((keys, vals), interpret=interpret)
 
 
-def argsort_stable(keys, interpret: bool = False):
+def argsort_stable(keys, interpret: bool | None = None):
     """Stable ascending argsort of int32 keys: (sorted_keys, order)."""
     n = keys.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
