@@ -44,6 +44,7 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
             n_points=int(l.get("n_points", 131072)),
             max_range=float(l.get("max_range", 50.0)),
             do_overfit=bool(l.get("do_overfit", False)),
+            classes=int(l.get("classes", 6)),
         )
     if dataset_name == "shapenet":
         from lattice_net_tpu.data.shapenet import ShapeNetPartSeg
@@ -254,6 +255,29 @@ def run(
     nr_classes = loader_train.nr_classes
     ignore_index = getattr(loader_train, "ignore_index", -1)
     mp = model_params_from_config(cfg, nr_classes)
+
+    # optional inverse-log-frequency class weights (the reference's
+    # compute_class_weights recipe, models.py:273-296 — commented out in its
+    # ln_train.py:129 but the published knob for imbalanced label sets).
+    # train.class_weights: "auto" estimates frequencies from a few train
+    # clouds; a list gives them explicitly.
+    class_weights = None
+    cw_cfg = cfg.get("train", {}).get("class_weights", None)
+    if cw_cfg:
+        from lattice_net_tpu.models.lnn import compute_class_weights
+
+        if isinstance(cw_cfg, (list, tuple)):
+            freqs = np.asarray(cw_cfg, np.float64)
+        else:  # "auto"
+            counts = np.zeros(nr_classes, np.int64)
+            for i in range(min(4, len(loader_train))):
+                lbl = np.asarray(loader_train.get_cloud(i).L_gt).reshape(-1)
+                counts += np.bincount(lbl, minlength=nr_classes)[:nr_classes]
+            freqs = counts / max(counts.sum(), 1)
+        class_weights = compute_class_weights(
+            freqs, ignore_index if ignore_index >= 0 else 0
+        )
+        print(f"class weights: {np.round(np.asarray(class_weights), 3).tolist()}")
     sigma = lp.sigmas[0] if len(set(lp.sigmas)) == 1 else np.asarray(lp.sigmas)
     caps = default_capacity_schedule(lp.hash_table_capacity, mp.nr_downsamples)
 
@@ -372,6 +396,8 @@ def run(
         print(f"resumed {resume} at step {int(state.step)} (epoch ~{start_epoch})")
 
     if sp_mesh is not None:
+        if class_weights is not None:
+            print("--sp: class_weights not supported in sharded steps; ignoring")
         from lattice_net_tpu.parallel.lattice_sharded import (
             make_hybrid_lnn_train_step,
             make_sharded_lnn_train_step,
@@ -399,15 +425,16 @@ def run(
         state = replicate_state(state, mesh)
         train_step = make_dp_train_step(
             model, tx, mesh, sigma, mp.nr_downsamples, caps, ignore_index,
-            canonical_points=canon,
+            class_weights=class_weights, canonical_points=canon,
         )
     else:
         train_step = jax.jit(make_train_step(
             model, tx, sigma, mp.nr_downsamples, caps, ignore_index,
-            canonical_points=canon,
+            class_weights=class_weights, canonical_points=canon,
         ))
     loss_fn = make_loss_fn(
-        model, sigma, mp.nr_downsamples, caps, ignore_index, canonical_points=canon
+        model, sigma, mp.nr_downsamples, caps, ignore_index,
+        class_weights=class_weights, canonical_points=canon,
     )
     eval_step = jax.jit(lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0), False))
 
