@@ -71,6 +71,8 @@ def main():
     occ = [int(s.nr_verts) for s in h.structures]
     print(f"occupancy per level: {occ} / {list(caps)}")
 
+    _first_row = [True]
+
     def timeit_chained(make_step, carrier):
         """make_step(carrier) -> jitted step: carrier -> carrier'.
 
@@ -80,7 +82,12 @@ def main():
         c = step(carrier)
         jax.block_until_ready(c)
         best = 1e9
-        for _ in range(2):
+        # The FIRST timed loop of any profiler invocation over the axon
+        # tunnel reads garbage (round-2: 248-296 ms for ~116 ms programs);
+        # burn one extra discarded loop on the first row (see profile_train).
+        n_loops = 3 if _first_row[0] else 2
+        _first_row[0] = False
+        for _ in range(n_loops):
             c = step(carrier)
             jax.block_until_ready(c)
             t0 = time.perf_counter()
