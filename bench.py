@@ -185,18 +185,39 @@ def main():
     # chained): the fast build's EdgeSort reconstruction scatters cost more
     # than the saved sort volume, and its AD doubles the damage.
     canon_train = os.environ.get("LNT_CANONICAL_TRAIN", "0") == "1"
+    # LNT_BENCH_TRAIN_BATCH=N (default 1): N distinct scans per train step.
+    # b=1 takes the vmap-bypass fast path; b>1 exercises the vmapped build
+    # under static_general_branches() — the round-2 machinery that collapses
+    # every build lax.cond to its general branch at trace time (VERDICT r2
+    # item 6: prove the batched path pays on chip).
+    train_b = int(os.environ.get("LNT_BENCH_TRAIN_BATCH", "1"))
     pos_np, val_np, tgt_np = map(np.asarray, (positions, values, target))
     if canon_train:
         from lattice_net_tpu.lattice.host_order import canonical_point_order_np
 
         order = canonical_point_order_np(pos_np, sigma)
         pos_np, val_np, tgt_np = pos_np[order], val_np[order], tgt_np[order]
-    batch = {
-        "positions": jnp.asarray(pos_np)[None],
-        "values": jnp.asarray(val_np)[None],
-        "target": jnp.asarray(tgt_np)[None],
-        "point_mask": jnp.ones((1, n_points), bool),
-    }
+    if train_b > 1:
+        tgt_rng = np.random.default_rng(1)
+        pos_list = [pos_np] + [
+            synthetic_kitti_scan(n_points, seed=s) for s in range(1, train_b)
+        ]
+        pos_np = np.stack(pos_list)
+        val_np = np.zeros((train_b, n_points, 1), np.float32)
+        tgt_np = tgt_rng.integers(1, mp.nr_classes, (train_b, n_points)).astype(np.int32)
+        batch = {
+            "positions": jnp.asarray(pos_np),
+            "values": jnp.asarray(val_np),
+            "target": jnp.asarray(tgt_np),
+            "point_mask": jnp.ones((train_b, n_points), bool),
+        }
+    else:
+        batch = {
+            "positions": jnp.asarray(pos_np)[None],
+            "values": jnp.asarray(val_np)[None],
+            "target": jnp.asarray(tgt_np)[None],
+            "point_mask": jnp.ones((1, n_points), bool),
+        }
     tx = make_optimizer(1e-3, weight_decay=1e-4, schedule="cosine_warm_restarts", t0_steps=1000)
     state = TrainState.create(params, tx)
     train_step = jax.jit(make_train_step(
@@ -231,6 +252,8 @@ def main():
                 "train_step_ms": round(t_ms, 3),
                 "train_step_std_ms": round(t_std, 3),
                 "train_steps_per_sec": round(1000.0 / t_ms, 3),
+                "train_batch": train_b,
+                "train_clouds_per_sec": round(train_b * 1000.0 / t_ms, 3),
                 "n_points": n_points,
                 "occupancy": occ,
                 "capacities": list(caps),

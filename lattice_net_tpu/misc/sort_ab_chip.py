@@ -52,7 +52,14 @@ def main():
     first_row = [True]
 
     def timeit(fn, ops):
-        """Chained: thread a zero int derived from the output into operand 0."""
+        """Chained dispatch: XOR a {0,1} bit of the output into operand 0.
+
+        NOT ``out*0`` — XLA constant-folds that and the dependency vanishes
+        (first attempt read 0.339 ms for a 2^18 lax.sort, below the ~1.5 ms
+        dispatch floor — the classic unchained-timing trap).  ``out & 1`` is
+        value-dependent; XOR-ing it flips at most the low bit, so padding
+        sentinels stay ordered and the sort's work is unchanged.
+        """
         out = fn(ops)
         jax.block_until_ready(out)
         n_loops = 2 if first_row[0] else 1
@@ -63,8 +70,8 @@ def main():
             cur = ops
             for _ in range(args.iters):
                 out = fn(cur)
-                fb = out[0][0] * 0  # data dependency, numerically zero
-                cur = (ops[0] + fb,) + ops[1:]
+                fb = out[0][0] & 1  # data dependency, value-dependent
+                cur = (ops[0] ^ fb,) + ops[1:]
             jax.block_until_ready(out)
             best = min(best, (time.perf_counter() - t0) / args.iters * 1000.0)
         return best
