@@ -73,6 +73,16 @@ SENTINEL = np.iinfo(np.int32).max
 # explicit.  A/B runs are separate processes anyway.
 _PALLAS_SORT = os.environ.get("LNT_PALLAS_SORT", "0") == "1"
 
+# Invert the edge-sort permutation with a second 2-operand sort instead of a
+# full-stream scatter.  XLA scatters are row-latency-bound on TPU while
+# lax.sort is compute/bandwidth-bound, so at 2^19 rows the sort can be the
+# cheaper permutation application (A/B'd in-program; see docs/runs).  Only
+# sound for UNMASKED builds, where the sort payload is a full permutation of
+# [0, m) in both the folded and plain branches; masked builds keep the
+# scatter (the folded branch zeroes masked payloads).  Read once at import —
+# not part of any jit cache key (same contract as LNT_PALLAS_SORT above).
+_INVPERM_SORT = os.environ.get("LNT_INVPERM_SORT", "0") == "1"
+
 
 def _lex_sort(operands, num_keys=None, is_stable=False, unique_payload=False):
     """Build sort dispatcher with an opt-in Pallas bitonic kernel.
@@ -342,13 +352,31 @@ class LatticeStructure:
         # last table row at-or-before each position (table ids ascend with key)
         last_table = lax.cummax(jnp.where(sid < c, sid, -1))
         cand = jnp.maximum(last_table, 0)
-        tkeys = jnp.take(table, cand, axis=0)
+        # cand is nondecreasing by construction (a clamped cummax), so tell
+        # XLA: sorted-flag gathers beat the generic row-latency path on TPU
+        tkeys = lax.gather(
+            table,
+            cand[:, None],
+            lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+            ),
+            (1, dp),
+            indices_are_sorted=True,
+            mode=lax.GatherScatterMode.CLIP,
+        )
         skeys = jnp.stack(sorted_[:dp], axis=-1)
         eq = jnp.all(tkeys == skeys, axis=-1) & (last_table >= 0)
         res = jnp.where(eq, cand, c).astype(jnp.int32)
 
         qslot = jnp.where(sid >= c, sid - c, nq)
-        out = jnp.zeros((nq,), jnp.int32).at[qslot].set(res, mode="drop")
+        if _INVPERM_SORT:
+            # qslot restricted to query rows is a full permutation of
+            # [0, nq) (every query appears exactly once; table rows map to
+            # the duplicated sentinel nq, which sorts last) — so a 2-op
+            # sort applies the inverse permutation without a scatter
+            out = lax.sort((qslot, res), num_keys=1)[1][:nq]
+        else:
+            out = jnp.zeros((nq,), jnp.int32).at[qslot].set(res, mode="drop")
         return out.reshape(shape)
 
 
@@ -565,12 +593,18 @@ def _dedup_build(
     # per-vertex run ends via ONE (M,) element scatter; every other table is
     # then a cheap (capacity,)-sized gather off the sorted stream — round 1
     # paid three full-stream scatters here (~2.5 ms each at KITTI scale).
+    # uid_sorted is globally nondecreasing (the cumsum holds its value over
+    # invalid rows, which sort last), so scatter at min(uid, cap) with the
+    # sorted-indices hint and route non-last rows through the -1 init value:
+    # bit-identical to the masked-index form, but XLA sees a monotone scatter.
     is_last = jnp.concatenate([differs, jnp.ones((1,), bool)]) & svalid
-    ends_ids = jnp.where(is_last & (uid_sorted < capacity), uid_sorted, capacity)
+    ends_vals = jnp.where(
+        is_last & (uid_sorted < capacity), jnp.arange(m, dtype=jnp.int32), -1
+    )
     ends = (
         jnp.full((capacity + 1,), -1, jnp.int32)
-        .at[ends_ids]
-        .max(jnp.arange(m, dtype=jnp.int32), mode="drop")[:capacity]
+        .at[jnp.minimum(uid_sorted, capacity)]
+        .max(ends_vals, mode="drop", indices_are_sorted=True)[:capacity]
     )
 
     # sorted key table: any row of a run carries the key, so gather at ends
@@ -596,15 +630,24 @@ def _dedup_build(
 
     # per-edge vertex id, overflow/invalid -> capacity
     uid_ok = jnp.where(svalid & (uid_sorted < capacity), uid_sorted, capacity)
-    # point -> vertex ids in original edge order (one full-stream scatter,
-    # the inverse permutation application).  Sentinel rows carry no payload
-    # under the folded sort, so they are dropped and the init value covers
-    # them (masked edges map to `capacity` either way).
-    vid = (
-        jnp.full((m,), capacity, dtype=jnp.int32)
-        .at[jnp.where(svalid, order, m)]
-        .set(uid_ok.astype(jnp.int32), mode="drop")
-    )
+    # point -> vertex ids in original edge order: the inverse permutation
+    # application.  Default is one full-stream scatter; for UNMASKED builds
+    # `order` is a full permutation of [0, m) (every row carries its true
+    # payload in both sort branches), so a 2-operand sort computes the same
+    # thing — opt-in via LNT_INVPERM_SORT (sorts are compute-bound where
+    # scatters are row-latency-bound on TPU).  Masked builds always scatter:
+    # the folded sort zeroes masked payloads (`mode='drop'` + the init value
+    # cover them; masked edges map to `capacity` either way).
+    if _INVPERM_SORT and point_mask is None:
+        vid = lax.sort(
+            (order.astype(jnp.int32), uid_ok.astype(jnp.int32)), num_keys=1
+        )[1]
+    else:
+        vid = (
+            jnp.full((m,), capacity, dtype=jnp.int32)
+            .at[jnp.where(svalid, order, m)]
+            .set(uid_ok.astype(jnp.int32), mode="drop")
+        )
     if not with_edges:
         return structure, vid.reshape(n, d + 1), bary
 

@@ -355,3 +355,21 @@ def test_conv_chunked_nondivisible_rows(monkeypatch):
     out = ops.conv_im2row(values, neighbors, w, same_level=False)
     assert out.shape == (cq, c_out)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_merge_lookup_invperm_sort_identical(hier, monkeypatch):
+    # LNT_INVPERM_SORT=1 replaces merge_lookup's inverse-permutation scatter
+    # with a 2-op sort; results must be bit-identical for hits AND misses.
+    from lattice_net_tpu.lattice import structure as st
+
+    _, _, h = hier
+    rng = np.random.default_rng(11)
+    s = h.structures[0]
+    real = s.keys[: s.capacity // 2]
+    shifted = real + jnp.asarray(rng.integers(-2, 3, real.shape), jnp.int32)
+    q = jnp.concatenate([real, shifted])
+    monkeypatch.setattr(st, "_INVPERM_SORT", False)
+    a = np.asarray(s.merge_lookup(q))
+    monkeypatch.setattr(st, "_INVPERM_SORT", True)
+    b = np.asarray(s.merge_lookup(q))
+    np.testing.assert_array_equal(a, b)

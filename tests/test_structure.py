@@ -571,3 +571,29 @@ def test_static_general_branches_bitexact(rng):
     np.testing.assert_array_equal(
         np.asarray(h2.splat_idx), np.asarray(h_fast.splat_idx)
     )
+
+
+def test_invperm_sort_build_identical(rng, monkeypatch):
+    # LNT_INVPERM_SORT=1 (2-op sort instead of the inverse-permutation
+    # scatter) must produce bit-identical structures + point maps for
+    # unmasked builds; masked builds must keep working (scatter path).
+    pts = jnp.asarray(_cloud(rng, n=500))
+
+    def _full(flag):
+        monkeypatch.setattr(st, "_INVPERM_SORT", flag)
+        return st.build_structure(pts, 0.5, capacity=4096, with_edges=True)
+
+    s0, vid0, w0, e0 = _full(False)
+    s1, vid1, w1, e1 = _full(True)
+    np.testing.assert_array_equal(np.asarray(vid0), np.asarray(vid1))
+    np.testing.assert_array_equal(np.asarray(s0.keys), np.asarray(s1.keys))
+    np.testing.assert_array_equal(np.asarray(e0.perm), np.asarray(e1.perm))
+    np.testing.assert_array_equal(np.asarray(e0.vertex), np.asarray(e1.vertex))
+
+    # masked build under the flag: must fall back to the scatter (same result)
+    mask = jnp.asarray(rng.random(500) > 0.2)
+    monkeypatch.setattr(st, "_INVPERM_SORT", True)
+    sm1, vidm1, _ = st.build_structure(pts, 0.5, capacity=4096, point_mask=mask)
+    monkeypatch.setattr(st, "_INVPERM_SORT", False)
+    sm0, vidm0, _ = st.build_structure(pts, 0.5, capacity=4096, point_mask=mask)
+    np.testing.assert_array_equal(np.asarray(vidm0), np.asarray(vidm1))
