@@ -66,54 +66,32 @@ __all__ = [
 SENTINEL = np.iinfo(np.int32).max
 
 
-# Read ONCE at import (not per trace): the flag is not part of any jit cache
-# key, so flipping the env var mid-process after a build has been traced
-# would silently compare identical programs in an A/B.  A module constant
-# makes the only supported toggle (set before process start / first import)
-# explicit.  A/B runs are separate processes anyway.
-_PALLAS_SORT = os.environ.get("LNT_PALLAS_SORT", "0") == "1"
-
 # Invert the edge-sort permutation with a second 2-operand sort instead of a
 # full-stream scatter.  XLA scatters are row-latency-bound on TPU while
 # lax.sort is compute/bandwidth-bound, so at 2^19 rows the sort can be the
 # cheaper permutation application (A/B'd in-program; see docs/runs).  Only
 # sound for UNMASKED builds, where the sort payload is a full permutation of
 # [0, m) in both the folded and plain branches; masked builds keep the
-# scatter (the folded branch zeroes masked payloads).  Read once at import —
-# not part of any jit cache key (same contract as LNT_PALLAS_SORT above).
+# scatter (the folded branch zeroes masked payloads).  Read ONCE at import —
+# the flag is not part of any jit cache key, so flipping the env var after a
+# build has been traced would silently compare identical programs in an A/B;
+# a module constant makes the only supported toggle (set before process
+# start / first import) explicit.  A/B runs are separate processes anyway.
 _INVPERM_SORT = os.environ.get("LNT_INVPERM_SORT", "0") == "1"
 
 
 def _lex_sort(operands, num_keys=None, is_stable=False, unique_payload=False):
-    """Build sort dispatcher with an opt-in Pallas bitonic kernel.
+    """Build sort dispatcher (plain ``lax.sort``).
 
-    Every build sort's requested order equals FULL-lex over its int32
-    operands (payloads are folded into a key column or appended as the
-    unique last operand, so full-lex == the stable order the dedup relies
-    on).  ``LNT_PALLAS_SORT=1`` routes eligible sizes to the VMEM-resident
-    bitonic network in ``ops_tpu/sort.py`` (TPU only — bit-exact, A/B'd
-    in-program on the chip); the default is the original
-    ``lax.sort(ops, num_keys, is_stable)`` call, HLO-identical to before
-    this dispatcher existed.
-
-    The Pallas network is FULL-lex only: it honours ``num_keys <
-    len(operands)`` / ``is_stable`` solely when the caller declares
-    ``unique_payload=True`` (the trailing non-key operands form a unique
-    ascending tiebreak, so full-lex == the requested stable partial-key
-    sort).  Call sites without that guarantee keep ``lax.sort`` semantics
-    unconditionally.
+    ``unique_payload=True`` declares that the trailing non-key operands form
+    a unique ascending tiebreak, so full-lex == the requested stable
+    partial-key sort.  Today the declaration is documentation (every caller
+    gets ``lax.sort`` with its requested semantics either way); it existed to
+    gate the Pallas bitonic sort, DELETED round 3 after losing its on-chip
+    A/B 10-12x — see ``ops_tpu/sort.py`` for the tombstone and numbers.
     """
     operands = tuple(operands)
-    full_lex_ok = (
-        num_keys is None or num_keys == len(operands) or unique_payload
-    )
-    if _PALLAS_SORT and full_lex_ok:
-        from lattice_net_tpu.ops_tpu.sort import sort_lex, sort_supported
-
-        if all(o.dtype == jnp.int32 for o in operands) and sort_supported(
-            operands[0].shape[0], len(operands)
-        ):
-            return sort_lex(operands)
+    del unique_payload
     if num_keys is None:
         num_keys = len(operands)
     return lax.sort(operands, num_keys=num_keys, is_stable=is_stable)
