@@ -25,6 +25,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--trace", default="", help="jax.profiler trace output dir")
+    ap.add_argument(
+        "--trace-only",
+        action="store_true",
+        help="with --trace: skip the stage rows, trace the warmed e2e program",
+    )
     ap.add_argument("--n-points", type=int, default=1 << 17)
     ap.add_argument("--cap", type=int, default=1 << 16)
     ap.add_argument("--sigma", type=float, default=0.6)
@@ -70,6 +75,27 @@ def main():
     params = model.init(jax.random.PRNGKey(0), h, positions, values)
     occ = [int(s.nr_verts) for s in h.structures]
     print(f"occupancy per level: {occ} / {list(caps)}")
+
+    if args.trace and args.trace_only:
+        # HLO-level attribution without the ~15 min stage sweep: compile +
+        # warm the end-to-end program, then trace a few dispatches.  Parse
+        # the xplane with tensorboard_plugin_profile (installed) for exact
+        # per-fusion device times — the ground truth the stage rows estimate.
+        def mk_e2e0(p):
+            hh = build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_feats=values)
+            logp, _ = model.apply(params, hh, p, values)
+            fb = (jnp.sum(jnp.argmax(logp, -1)) % 2).astype(p.dtype) * 1e-12
+            return p + fb
+
+        f = jax.jit(mk_e2e0)
+        out = f(positions)
+        jax.block_until_ready(out)
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                out = f(out)
+            jax.block_until_ready(out)
+        print(f"trace written to {args.trace}")
+        return
 
     _first_row = [True]
 
