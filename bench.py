@@ -25,6 +25,15 @@ RSS'20 paper claims "real-time-capable" inference, sensor rate is 10 Hz
 bilateral-filter kernel (``LatticeGPU.cuh:897``).  ``vs_baseline`` =
 ours_ms / 55.0 (lower is better).
 
+Round-3 build knobs (ALL default ON — joint in-program A/B moved this bench
+53.2 -> 36.5 ms/scan inference, 100.9 -> 84.5 ms/step train; each is
+bit-identical and can be A/B'd out with =0): LNT_INVPERM_SORT (inverse
+permutations via 2-op sort, not scatter), LNT_CARRY_FEATS (distribute rows
+ride the L0 sort as f32 payloads, no 524k-row gather), LNT_ENDS_SORT
+(run-end table via sort-compaction, not scatter-max), LNT_MERGE_FF
+(merge_lookup hit test via tagged-cummax fill-forward, no verification
+gather).  Motivation: the v5e primitive cost model (CLAUDE.md).
+
 Env toggles (both default OFF — every canonical variant measured SLOWER
 in-context on v5e, mean of 5 chained runs; the machinery stays opt-in and
 parity-tested because the trade may flip at other densities):
@@ -145,7 +154,9 @@ def main():
             pred_c = jnp.argmax(logp, axis=-1).astype(jnp.int32)
             pred = jnp.zeros_like(pred_c).at[perm].set(pred_c)
         else:
-            h = build_hierarchy(positions, sigma, mp.nr_downsamples, caps)
+            h = build_hierarchy(
+                positions, sigma, mp.nr_downsamples, caps, point_feats=values
+            )
             logp, _ = model.apply(params, h, positions, values)
             pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         # thread a (numerically zero) data dependency from the prediction back

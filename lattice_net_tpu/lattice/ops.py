@@ -408,6 +408,29 @@ def distribute_sorted(
     m = edges.perm.shape[0]
     d1 = m // n
     ids = edges.vertex
+
+    rows_carried = getattr(edges, "rows", None)
+    if rows_carried is not None:
+        # the build sorted [positions, values, bary] alongside the keys
+        # (structure.EdgeSort.rows) — zero gathers here.  CONTRACT: the
+        # hierarchy must have been built with point_feats = the same
+        # [positions, values] passed to this call.
+        c = values.shape[1]
+        if rows_carried.shape[1] != d + c + 1:
+            raise ValueError(
+                f"carried rows have {rows_carried.shape[1]} columns, expected "
+                f"d + C + 1 = {d + c + 1}: the hierarchy was built with "
+                "different point_feats than the values passed to distribute"
+            )
+        pos_rows = rows_carried[:, :d]
+        val_rows = rows_carried[:, d : d + c]
+        w_rows = rows_carried[:, d + c]
+        if subtract_local_mean:
+            mean_pos = seg_mean_sorted(pos_rows, edges, capacity)
+            pos_rows = pos_rows - take_sorted(mean_pos, ids)
+        rows = jnp.concatenate([pos_rows, val_rows, w_rows[:, None]], axis=-1)
+        return jnp.where((ids < capacity)[:, None], rows, 0.0), ids
+
     point_of = edges.perm // d1
 
     if edges.weights is not None:

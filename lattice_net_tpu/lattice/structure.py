@@ -66,10 +66,17 @@ __all__ = [
 SENTINEL = np.iinfo(np.int32).max
 
 
+# The four LNT_* knobs below replace the build's full-stream scatters and
+# gathers with sorts and scans.  The primitive cost model that motivated
+# them (misc/prim_cost_chip.py, v5e, 2^19 rows): lax.sort 2-3 ops 0.5-0.7 ms,
+# +4-8 f32 payload operands +0.8-1.2 ms, while a random take is 3.9-6.7 ms,
+# a scatter 2.5-7.3 ms, and sorted-index hints change nothing.  All four
+# default ON since round 3: the joint in-program A/B on the chip moved the
+# full bench from 53.2 -> 36.5 ms/scan inference and 100.9 -> 84.5 ms/step
+# training (docs/runs/bench_r3_allon.log); set a knob to 0 to A/B it out.
+
 # Invert the edge-sort permutation with a second 2-operand sort instead of a
-# full-stream scatter.  XLA scatters are row-latency-bound on TPU while
-# lax.sort is compute/bandwidth-bound, so at 2^19 rows the sort can be the
-# cheaper permutation application (A/B'd in-program; see docs/runs).  Only
+# full-stream scatter (measured 0.52 vs 2.50 ms at 2^19 rows).  Only
 # sound for UNMASKED builds, where the sort payload is a full permutation of
 # [0, m) in both the folded and plain branches; masked builds keep the
 # scatter (the folded branch zeroes masked payloads).  Read ONCE at import —
@@ -77,7 +84,26 @@ SENTINEL = np.iinfo(np.int32).max
 # build has been traced would silently compare identical programs in an A/B;
 # a module constant makes the only supported toggle (set before process
 # start / first import) explicit.  A/B runs are separate processes anyway.
-_INVPERM_SORT = os.environ.get("LNT_INVPERM_SORT", "0") == "1"
+_INVPERM_SORT = os.environ.get("LNT_INVPERM_SORT", "1") == "1"
+
+# Carry the per-edge feature rows [positions, values, bary weight] through
+# the level-0 build sort as f32 payload operands instead of gathering them
+# afterwards: 4-8 extra payload operands cost ~1.2 ms at 2^19 rows where the
+# row gather they replace costs 3.9-6.7 ms (misc/prim_cost_chip.py).  Same
+# read-once-at-import contract as the other LNT_* build knobs.
+_CARRY_FEATS = os.environ.get("LNT_CARRY_FEATS", "1") == "1"
+
+# Build the per-vertex run-end table by sort-compaction instead of a
+# (capacity+1)-wide scatter-max: the scatter costs ~4.6 ms at 2^19 rows on
+# v5e (sorted-indices hint or not) where a 2-operand sort costs ~0.7 ms
+# (misc/prim_cost_chip.py).  Same read-once contract.
+_ENDS_SORT = os.environ.get("LNT_ENDS_SORT", "1") == "1"
+
+# Verify merge_lookup hits by a run-start fill-forward (adjacent key
+# compare + one tagged cummax) instead of gathering each candidate's table
+# keys: the verification gather costs ~5 ms at merge scale where the scan
+# costs ~0.2 ms.  Same read-once contract.
+_MERGE_FF = os.environ.get("LNT_MERGE_FF", "1") == "1"
 
 
 def _lex_sort(operands, num_keys=None, is_stable=False, unique_payload=False):
@@ -330,20 +356,41 @@ class LatticeStructure:
         # last table row at-or-before each position (table ids ascend with key)
         last_table = lax.cummax(jnp.where(sid < c, sid, -1))
         cand = jnp.maximum(last_table, 0)
-        # cand is nondecreasing by construction (a clamped cummax), so tell
-        # XLA: sorted-flag gathers beat the generic row-latency path on TPU
-        tkeys = lax.gather(
-            table,
-            cand[:, None],
-            lax.GatherDimensionNumbers(
-                offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
-            ),
-            (1, dp),
-            indices_are_sorted=True,
-            mode=lax.GatherScatterMode.CLIP,
-        )
-        skeys = jnp.stack(sorted_[:dp], axis=-1)
-        eq = jnp.all(tkeys == skeys, axis=-1) & (last_table >= 0)
+        if _MERGE_FF:
+            # a query hits iff its equal-key run STARTS with a table row
+            # (stable sort puts table rows before equal queries; table keys
+            # are unique, so at most one table row per run and last_table at
+            # any row of such a run is exactly that table id).  Tag run
+            # starts with (position << 1 | is_table) and fill forward with
+            # ONE cummax — no per-candidate table-key gather (~5 ms saved at
+            # merge scale, misc/prim_cost_chip.py).
+            nrows = c + nq
+            differs = jnp.zeros((nrows,), bool)
+            for i in range(dp):
+                col = sorted_[i]
+                differs = differs | jnp.concatenate(
+                    [jnp.ones((1,), bool), col[1:] != col[:-1]]
+                )
+            tag = jnp.where(
+                differs,
+                (jnp.arange(nrows, dtype=jnp.int32) << 1)
+                | (sid < c).astype(jnp.int32),
+                -1,
+            )
+            eq = (lax.cummax(tag) & 1) == 1
+        else:
+            tkeys = lax.gather(
+                table,
+                cand[:, None],
+                lax.GatherDimensionNumbers(
+                    offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+                ),
+                (1, dp),
+                indices_are_sorted=True,
+                mode=lax.GatherScatterMode.CLIP,
+            )
+            skeys = jnp.stack(sorted_[:dp], axis=-1)
+            eq = jnp.all(tkeys == skeys, axis=-1) & (last_table >= 0)
         res = jnp.where(eq, cand, c).astype(jnp.int32)
 
         qslot = jnp.where(sid >= c, sid - c, nq)
@@ -386,6 +433,13 @@ class EdgeSort:
     # full-stream gather (ops.distribute_sorted reconstructs weights from
     # splat_weights + perm instead).
     weights: Any  # (M,) float32 or None
+    # carried per-edge feature rows [point_feats..., bary_weight] in sorted
+    # order, or None.  Produced when the build sorts f32 payload operands
+    # alongside the keys (LNT_CARRY_FEATS): a 2^19-row gather costs
+    # 3.9-6.7 ms on v5e while 4-8 extra sort payload operands cost ~1.2 ms
+    # (misc/prim_cost_chip.py), so carrying the rows through the sort is how
+    # ops.distribute_sorted avoids its full-stream row gather entirely.
+    rows: Any = None  # (M, F + 1) float32 or None
 
 
 @struct.dataclass
@@ -432,6 +486,7 @@ def build_structure(
     point_mask: jnp.ndarray | None = None,
     with_edges: bool = False,
     need_point_maps: bool = True,
+    point_feats: jnp.ndarray | None = None,
 ):
     """Build one lattice level from raw positions.
 
@@ -458,8 +513,27 @@ def build_structure(
     sigma = jnp.broadcast_to(jnp.asarray(sigma, positions.dtype), (d,))
     scaled = positions / sigma
     keys, bary = permutohedral.splat_coords(scaled)  # (N, d+1, d), (N, d+1)
+    edge_feats = None
+    if point_feats is not None and with_edges:
+        # per-edge rows [point_feats..., bary weight]: a pure broadcast +
+        # reshape (edge e = point e // (d+1), corner e % (d+1)) — no gather
+        m = n * (d + 1)
+        pf = jnp.broadcast_to(
+            point_feats[:, None, :], (n, d + 1, point_feats.shape[1])
+        ).reshape(m, -1)
+        edge_feats = jnp.concatenate(
+            [pf, bary.reshape(m, 1).astype(pf.dtype)], axis=-1
+        )
     return _dedup_build(
-        keys, bary, sigma, capacity, lvl, point_mask, with_edges, need_point_maps
+        keys,
+        bary,
+        sigma,
+        capacity,
+        lvl,
+        point_mask,
+        with_edges,
+        need_point_maps,
+        edge_feats=edge_feats,
     )
 
 
@@ -495,12 +569,16 @@ def _dedup_build(
     point_mask: jnp.ndarray | None,
     with_edges: bool,
     need_point_maps: bool = True,
+    edge_feats: jnp.ndarray | None = None,
 ):
     """Shared sort-dedup body: (N, d+1, d) simplex keys -> sorted table.
 
     Sorts the pair-packed key columns (ceil(d/2) operands instead of d) and
     carries the edge-order payload only when the caller needs point->vertex
-    maps; coarse hierarchy levels sort bare keys.
+    maps; coarse hierarchy levels sort bare keys.  ``edge_feats`` (M, F)
+    float32, if given, rides the same sort as extra payload operands and
+    comes back as ``EdgeSort.rows`` — see the field comment for why that
+    beats gathering the rows afterwards.
     """
     n, d1, d = keys.shape
 
@@ -514,6 +592,12 @@ def _dedup_build(
     packed = pack_key_pairs(flat_keys)  # (m, dp)
     dp = packed.shape[1]
     cols = tuple(packed[:, i] for i in range(dp))
+    fcols = (
+        ()
+        if edge_feats is None
+        else tuple(edge_feats[:, i] for i in range(edge_feats.shape[1]))
+    )
+    nf = len(fcols)
     order = None
     if need_point_maps or with_edges:
         # the payload (original edge index) adds a sort operand; when the
@@ -535,29 +619,40 @@ def _dedup_build(
                 p2k = jnp.where(
                     valid0, (solo + half) * jnp.int32(1 << bits_p) + payload, SENTINEL
                 )
-                srt = _lex_sort(cols[:-1] + (p2k,))
-                c_last = srt[-1]
+                # p2k is unique over valid rows, so the f32 payload columns
+                # ride as non-key operands with deterministic placement
+                srt = _lex_sort(cols[:-1] + (p2k,) + fcols, num_keys=dp)
+                c_last = srt[dp - 1]
                 sval = c_last != SENTINEL
                 k_s = jnp.where(sval, (c_last >> bits_p) - half, SENTINEL)
                 ord_s = jnp.where(sval, c_last & ((1 << bits_p) - 1), 0)
-                return srt[:-1] + (k_s, ord_s.astype(jnp.int32))
+                return srt[: dp - 1] + (k_s, ord_s.astype(jnp.int32)) + srt[dp:]
 
             def _sort_plain(_):
                 # unique ascending payload as the last lex operand == stable
                 # sort on the key columns, matching the folded branch's
                 # (key, payload) lex order bit-for-bit
-                srt = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True, unique_payload=True)
-                return srt[: dp - 1] + (srt[dp - 1], srt[dp])
+                srt = _lex_sort(
+                    cols + (payload,) + fcols,
+                    num_keys=dp + 1,
+                    unique_payload=True,
+                )
+                return srt[: dp - 1] + (srt[dp - 1], srt[dp]) + srt[dp + 1 :]
 
             out_cols = _cond_general(packable, _sort_folded, _sort_plain, None)
             sorted_ops = out_cols[:dp]
             order = out_cols[dp]
+            fsorted = out_cols[dp + 1 :]
         else:
-            srt = _lex_sort(cols + (payload,), num_keys=dp, unique_payload=True)
+            srt = _lex_sort(
+                cols + (payload,) + fcols, num_keys=dp + 1, unique_payload=True
+            )
             sorted_ops = srt[:dp]
             order = srt[dp]
+            fsorted = srt[dp + 1 :]
     else:
         sorted_ops = _lex_sort(cols)
+        fsorted = ()
     spacked = jnp.stack(sorted_ops[:dp], axis=-1)  # (m, dp) sorted
 
     svalid = spacked[:, 0] != SENTINEL
@@ -576,14 +671,26 @@ def _dedup_build(
     # sorted-indices hint and route non-last rows through the -1 init value:
     # bit-identical to the masked-index form, but XLA sees a monotone scatter.
     is_last = jnp.concatenate([differs, jnp.ones((1,), bool)]) & svalid
-    ends_vals = jnp.where(
-        is_last & (uid_sorted < capacity), jnp.arange(m, dtype=jnp.int32), -1
-    )
-    ends = (
-        jnp.full((capacity + 1,), -1, jnp.int32)
-        .at[jnp.minimum(uid_sorted, capacity)]
-        .max(ends_vals, mode="drop", indices_are_sorted=True)[:capacity]
-    )
+    real_end = is_last & (uid_sorted < capacity)
+    if _ENDS_SORT:
+        # sort-compaction: real run-ends carry their (distinct, dense) uid as
+        # the key, everything else the sentinel; the sorted payload's first
+        # nr_verts entries ARE the ends, in uid order (sort 0.7 ms vs
+        # scatter-max 4.6 ms at 2^19 rows, misc/prim_cost_chip.py)
+        end_key = jnp.where(real_end, uid_sorted, SENTINEL)
+        end_pay = lax.sort((end_key, jnp.arange(m, dtype=jnp.int32)), num_keys=1)[1]
+        if capacity > m:
+            end_pay = jnp.pad(end_pay, (0, capacity - m), constant_values=-1)
+        ends = jnp.where(
+            jnp.arange(capacity, dtype=jnp.int32) < nr_verts, end_pay[:capacity], -1
+        )
+    else:
+        ends_vals = jnp.where(real_end, jnp.arange(m, dtype=jnp.int32), -1)
+        ends = (
+            jnp.full((capacity + 1,), -1, jnp.int32)
+            .at[jnp.minimum(uid_sorted, capacity)]
+            .max(ends_vals, mode="drop", indices_are_sorted=True)[:capacity]
+        )
 
     # sorted key table: any row of a run carries the key, so gather at ends
     packed_table = jnp.where(
@@ -630,12 +737,14 @@ def _dedup_build(
         return structure, vid.reshape(n, d + 1), bary
 
     # weights stay None: ops.distribute_sorted folds the barycentric columns
-    # into its own row gather (saves a full-stream gather here)
+    # into its own row gather (saves a full-stream gather here) — unless the
+    # sort carried the feature rows, in which case no gather happens at all
     edges = EdgeSort(
         perm=order.astype(jnp.int32),
         vertex=uid_ok.astype(jnp.int32),
         ends=ends,
         weights=None,
+        rows=jnp.stack(fsorted, axis=-1) if nf else None,
     )
     return structure, vid.reshape(n, d + 1), bary, edges
 
@@ -1129,6 +1238,7 @@ def build_hierarchy(
     coarse_from_vertices: bool = False,
     coarse_mode: str | None = None,
     canonical_points: bool = False,
+    point_feats: jnp.ndarray | None = None,
 ) -> LatticeHierarchy:
     """Build every level + every index table the U-Net forward needs.
 
@@ -1160,8 +1270,21 @@ def build_hierarchy(
     n, d = positions.shape
     if len(capacities) != nr_levels + 1:
         raise ValueError(f"need {nr_levels + 1} capacities, got {len(capacities)}")
+    # unmasked builds keep point_mask=None at level 0: the sort payload is
+    # then a full permutation, which unlocks the sort-based inverse
+    # permutation (_INVPERM_SORT) — a materialized all-true mask would
+    # silently force the scatter path
+    mask_given = point_mask is not None
     if point_mask is None:
         point_mask = jnp.ones((n,), dtype=bool)
+    if not _CARRY_FEATS:
+        point_feats = None
+    elif point_feats is not None:
+        # distribute rows are [positions, values, bary]; the caller passes
+        # the values and the build prepends its own positions
+        point_feats = jnp.concatenate(
+            [positions, point_feats.astype(positions.dtype)], axis=-1
+        )
 
     if coarse_mode is None:
         coarse_mode = "vertices" if coarse_from_vertices else "auto"
@@ -1275,11 +1398,12 @@ def build_hierarchy(
             sigma * (2.0**lvl),
             int(capacities[lvl]),
             lvl=lvl,
-            point_mask=point_mask,
+            point_mask=point_mask if mask_given else None,
             with_edges=(lvl == 0),
             # coarse levels only contribute their key table (+ neighbour
             # tables); the point->vertex maps exist at level 0 alone
             need_point_maps=(lvl == 0),
+            point_feats=point_feats if lvl == 0 else None,
         )
         structures.append(out[0])
         if lvl == 0:

@@ -133,7 +133,7 @@ def make_loss_fn(
 
         h = build_hierarchy(
             positions, sigma, nr_levels, capacities, point_mask=point_mask,
-            canonical_points=canonical_points,
+            canonical_points=canonical_points, point_feats=values,
         )
         kwargs = {}
         if train:

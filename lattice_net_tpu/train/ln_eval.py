@@ -120,6 +120,7 @@ def setup_predictor(
         h = build_hierarchy(
             batch["positions"][0], sigma, mp.nr_downsamples, caps,
             point_mask=batch["point_mask"][0],
+            point_feats=batch["values"][0],
         )
         logp, _ = model.apply(params, h, batch["positions"][0], batch["values"][0])
         return jax.numpy.argmax(logp, axis=-1)

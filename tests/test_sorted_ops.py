@@ -373,3 +373,44 @@ def test_merge_lookup_invperm_sort_identical(hier, monkeypatch):
     monkeypatch.setattr(st, "_INVPERM_SORT", True)
     b = np.asarray(s.merge_lookup(q))
     np.testing.assert_array_equal(a, b)
+
+
+def test_carried_feats_distribute_identical(monkeypatch):
+    # LNT_CARRY_FEATS=1: the L0 sort carries [pos, values, bary] as payload
+    # operands; distribute_sorted must produce bit-identical rows/ids to the
+    # gather path, and grads w.r.t. values must match.
+    from lattice_net_tpu.lattice import structure as st
+
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.normal(size=(600, 3)).astype(np.float32) * 2.0)
+    vals = jnp.asarray(rng.normal(size=(600, 2)).astype(np.float32))
+    cap = 4096
+
+    def _rows(carry, v):
+        monkeypatch.setattr(st, "_CARRY_FEATS", carry)
+        h = st.build_hierarchy(pos, 0.5, 1, (cap, cap // 2), point_feats=v)
+        assert (h.edges.rows is not None) == carry
+        rows, ids = ops.distribute_sorted(
+            pos, v, h.edges, cap, splat_weights=h.splat_weights
+        )
+        return rows, ids
+
+    r0, i0 = _rows(False, vals)
+    r1, i1 = _rows(True, vals)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), rtol=0, atol=0)
+
+    g0 = jax.grad(lambda v: jnp.sum(_rows(False, v)[0] ** 2))(vals)
+    g1 = jax.grad(lambda v: jnp.sum(_rows(True, v)[0] ** 2))(vals)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-6, atol=1e-6)
+
+    # masked build: carried rows must also work (masked edges zeroed)
+    mask = jnp.asarray(rng.random(600) > 0.25)
+    monkeypatch.setattr(st, "_CARRY_FEATS", True)
+    hm1 = st.build_hierarchy(pos, 0.5, 1, (cap, cap // 2), point_mask=mask, point_feats=vals)
+    rm1, im1 = ops.distribute_sorted(pos, vals, hm1.edges, cap, splat_weights=hm1.splat_weights)
+    monkeypatch.setattr(st, "_CARRY_FEATS", False)
+    hm0 = st.build_hierarchy(pos, 0.5, 1, (cap, cap // 2), point_mask=mask, point_feats=vals)
+    rm0, im0 = ops.distribute_sorted(pos, vals, hm0.edges, cap, splat_weights=hm0.splat_weights)
+    np.testing.assert_array_equal(np.asarray(im0), np.asarray(im1))
+    np.testing.assert_allclose(np.asarray(rm0), np.asarray(rm1), rtol=0, atol=0)

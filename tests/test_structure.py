@@ -597,3 +597,42 @@ def test_invperm_sort_build_identical(rng, monkeypatch):
     monkeypatch.setattr(st, "_INVPERM_SORT", False)
     sm0, vidm0, _ = st.build_structure(pts, 0.5, capacity=4096, point_mask=mask)
     np.testing.assert_array_equal(np.asarray(vidm0), np.asarray(vidm1))
+
+
+def test_ends_sort_build_identical(rng, monkeypatch):
+    # LNT_ENDS_SORT=1 (sort-compaction run-end table) must be bit-identical,
+    # masked and unmasked, including at capacity > n*(d+1).
+    pts = jnp.asarray(_cloud(rng, n=400))
+    mask = jnp.asarray(rng.random(400) > 0.2)
+    for pm in (None, mask):
+        for cap in (512, 4096):  # 4096 > 400*4: exercises the pad branch
+            monkeypatch.setattr(st, "_ENDS_SORT", False)
+            s0, v0, w0, e0 = st.build_structure(
+                pts, 0.5, capacity=cap, point_mask=pm, with_edges=True
+            )
+            monkeypatch.setattr(st, "_ENDS_SORT", True)
+            s1, v1, w1, e1 = st.build_structure(
+                pts, 0.5, capacity=cap, point_mask=pm, with_edges=True
+            )
+            np.testing.assert_array_equal(np.asarray(e0.ends), np.asarray(e1.ends))
+            np.testing.assert_array_equal(np.asarray(s0.keys), np.asarray(s1.keys))
+            np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_merge_ff_lookup_identical(rng, monkeypatch):
+    # LNT_MERGE_FF=1 (run-start fill-forward verification) must equal the
+    # gather-verified merge_lookup for hits, near-misses, and garbage.
+    pts = jnp.asarray(_cloud(rng, n=500))
+    s, _, _ = st.build_structure(pts, 0.5, capacity=2048)
+    rng = np.random.default_rng(7)
+    real = s.keys[: s.capacity // 2]
+    shifted = real + jnp.asarray(rng.integers(-2, 3, real.shape), jnp.int32)
+    garbage = jnp.asarray(rng.integers(-60, 60, (300, 3)), jnp.int32)
+    # duplicated queries: multiple equal queries must all resolve alike
+    q = jnp.concatenate([real, shifted, garbage, real[:50], shifted[:50]])
+    monkeypatch.setattr(st, "_MERGE_FF", False)
+    a = np.asarray(s.merge_lookup(q))
+    monkeypatch.setattr(st, "_MERGE_FF", True)
+    b = np.asarray(s.merge_lookup(q))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, np.asarray(s.lookup(q)))
