@@ -2,16 +2,18 @@
 
 The TPU-side ground truth behind the chained stage rows: parses the
 ``*.xplane.pb`` written by ``profile_forward --trace`` (or any
-``jax.profiler.trace`` block) with the locally-installed
-``tensorboard_plugin_profile`` converters and prints the top ops by device
-time.  No TensorBoard server needed.
+``jax.profiler.trace`` block) and prints device-time totals per op name.
+Parses the XSpace proto directly (the tensorboard_plugin_profile converters
+in this image are ABI-incompatible with the installed TF), aggregating
+XEvent durations per event-metadata name on each device plane.
 
-    python -m lattice_net_tpu.misc.parse_xplane /tmp/trace_fwd [--top 60]
+    PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+        python -m lattice_net_tpu.misc.parse_xplane /tmp/trace_fwd [--top 60]
 """
 
 import argparse
+import collections
 import glob
-import json
 import os
 
 
@@ -19,58 +21,53 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=60)
-    ap.add_argument("--tool", default="hlo_stats")
+    ap.add_argument("--line-filter", default="", help="substring of line name")
     args = ap.parse_args()
 
     paths = sorted(
-        glob.glob(
-            os.path.join(args.trace_dir, "**", "*.xplane.pb"), recursive=True
-        )
+        glob.glob(os.path.join(args.trace_dir, "**", "*.xplane.pb"), recursive=True)
     )
     if not paths:
         raise SystemExit(f"no *.xplane.pb under {args.trace_dir}")
     print(f"xplane: {paths[-1]}")
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], args.tool + "^", {}
-    )
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", errors="replace")
-
-    # hlo_stats ships as gviz JSON ({"cols": [...], "rows": [...]}); fall
-    # back to raw dump for other tools
     try:
-        tab = json.loads(data)
-        cols = [c.get("label") or c.get("id") for c in tab["cols"]]
-        rows = [[c.get("v") for c in r["c"]] for r in tab["rows"]]
-    except Exception:
-        print(data[:4000])
-        return
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:  # TF moved it; this image has the tsl path
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    def col(name_part):
-        for i, c in enumerate(cols):
-            if c and name_part.lower() in c.lower():
-                return i
-        return None
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
 
-    i_time = col("total time") or col("occurrences time") or col("self time")
-    i_name = col("hlo op expression") or col("hlo op name") or col("op name")
-    i_cat = col("category")
-    if i_time is None:
-        print("columns:", cols)
-        print(rows[:5])
-        return
-    rows.sort(key=lambda r: -(r[i_time] or 0))
-    total = sum(r[i_time] or 0 for r in rows)
-    print(f"{'us':>12}  {'%':>5}  op")
-    for r in rows[: args.top]:
-        t = r[i_time] or 0
-        name = str(r[i_name])[:140] if i_name is not None else "?"
-        cat = f"[{r[i_cat]}] " if i_cat is not None else ""
-        print(f"{t:12.1f}  {100 * t / max(total, 1e-9):5.1f}  {cat}{name}")
-    print(f"total device-attributed: {total:.1f} us over {len(rows)} ops")
+    for plane in space.planes:
+        is_device = "TPU" in plane.name or "/device:" in plane.name
+        if not is_device:
+            continue
+        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            if args.line_filter and args.line_filter not in line.name:
+                continue
+            tot = collections.Counter()
+            cnt = collections.Counter()
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                tot[name] += ev.duration_ps
+                cnt[name] += 1
+            if not tot:
+                continue
+            total_us = sum(tot.values()) / 1e6
+            print(
+                f"\n== plane '{plane.name}' line '{line.name}' "
+                f"({len(line.events)} events, {total_us:.1f} us total) =="
+            )
+            print(f"{'us':>12} {'%':>6} {'n':>5}  op")
+            for name, ps in tot.most_common(args.top):
+                us = ps / 1e6
+                print(
+                    f"{us:12.1f} {100 * ps / max(sum(tot.values()), 1):6.1f} "
+                    f"{cnt[name]:5d}  {name[:150]}"
+                )
 
 
 if __name__ == "__main__":

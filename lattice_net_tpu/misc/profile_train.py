@@ -34,6 +34,9 @@ def main():
         help="row groups to run (subset of 'ABCDE'); e.g. --rows E reruns "
         "only the train-step attribution rows against a warm compile cache",
     )
+    ap.add_argument(
+        "--trace", default="", help="jax.profiler trace dir (captured after row E)"
+    )
     args = ap.parse_args()
     rows = set(args.rows.upper())
 
@@ -252,6 +255,13 @@ def main():
         jax.block_until_ready(st)
         e = (time.perf_counter() - t0) / args.iters * 1000
         print(f"{'E  full train step (bench configuration)':55s} {e:8.3f} ms")
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                for _ in range(3):
+                    st, _m = step(st, batch, rng_b)
+                jax.block_until_ready(st)
+            print(f"train-step trace written to {args.trace} "
+                  "(parse with misc/parse_xplane)")
 
     if "C" in rows:
         # C: grad with prebuilt hierarchy (build outside AD, same program
