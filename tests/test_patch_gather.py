@@ -180,7 +180,7 @@ def test_seg_max_fast_bwd_matches_xla_ad():
         vals, carry, edges.vertex, edges.ends, cap, interpret=True
     )
     dv, dc, _, _ = sg._seg_max_fast_bwd(
-        cap, (vals, edges.vertex, maxed), (gm, gc)
+        cap, (vals, edges.vertex, edges.ends, maxed), (gm, gc)
     )
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(dc), np.asarray(dc_ref), atol=1e-6)
