@@ -93,15 +93,23 @@ def run(
     pred0.block_until_ready()
 
     # ---- compute-only latency: device-resident inputs, chained dispatch ---
-    # (the bench.py-comparable number: what the forward costs on the chip)
+    # (the bench.py-comparable number: what the forward costs on the chip).
+    # The feedback MUST live inside the jitted step: building it with eager
+    # ops dispatches ~5 tiny programs per iteration over the axon tunnel,
+    # whose first-call compiles dominated the loop (~7.4 s/iter observed).
+    def _chain_step(b, pos):
+        p = predict({**b, "positions": pos})
+        fb = (jnp.sum(p) % 2).astype(jnp.float32) * 1e-12
+        return p, pos + fb
+
+    chain = jax.jit(_chain_step)
     pos = b0["positions"]
+    p, pos = chain(b0, pos)  # warm the chained program
+    jax.block_until_ready((p, pos))
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):
-        p = predict({**b0, "positions": pos})
-        # thread a zero-valued data dependency so the runtime cannot skip
-        # or overlap repeated identical dispatches (CLAUDE.md)
-        pos = pos + (jnp.sum(p) % 2).astype(jnp.float32) * 1e-12
+        p, pos = chain(b0, pos)
     p.block_until_ready()
     compute_ms = (time.perf_counter() - t0) / iters * 1000
 
@@ -145,6 +153,7 @@ def run(
             scans += 1
     while inflight:
         drain_one()
+    wall_s = time.perf_counter() - t_start
 
     lat = np.asarray(latencies) * 1000
     print(
@@ -156,7 +165,8 @@ def run(
         f"streamed {scans} scans @ {rate_hz} Hz: "
         f"end-to-end latency p50 {np.percentile(lat, 50):.2f} ms  "
         f"p95 {np.percentile(lat, 95):.2f} ms  "
-        f"max {lat.max():.2f} ms  deadline misses {misses}/{scans}"
+        f"max {lat.max():.2f} ms  deadline misses {misses}/{scans}  "
+        f"sustained {scans / wall_s:.2f} scans/s"
     )
     return lat
 
