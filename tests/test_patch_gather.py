@@ -205,3 +205,42 @@ def test_bench_shape_windows_cover_realistic_scan():
         w = pk.window_width(capn, nbr.shape[0])
         _, _, ok, _ = pk._prepare(nbr, capn, w)
         assert bool(ok), f"table into cap {capn} not covered at w={w}"
+
+
+def test_seg_max_fast_bwd_tie_rule_latest_edge():
+    # Ties must route the cotangent to the LATEST winning edge per
+    # (vertex, channel) — the same rule the forward kernel's carry follows.
+    # Integer-valued floats force many exact ties; the oracle is a direct
+    # numpy argmax-of-last implementation.
+    from lattice_net_tpu.ops_tpu import segment as sg
+
+    edges, cap = _edges_fixture()
+    m = edges.vertex.shape[0]
+    rng = np.random.default_rng(12)
+    vals = jnp.asarray(rng.integers(-3, 4, size=(m, 8)).astype(np.float32))
+    carry = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+    gm = jnp.asarray(rng.normal(size=(cap, 8)).astype(np.float32))
+    gc = jnp.asarray(rng.normal(size=(cap, 8)).astype(np.float32))
+
+    maxed, _ = sg._seg_max_pallas_impl(
+        vals, carry, edges.vertex, edges.ends, cap, interpret=True
+    )
+    dv, dc, _, _ = sg._seg_max_fast_bwd(
+        cap, (vals, edges.vertex, edges.ends, maxed), (gm, gc)
+    )
+
+    ids_np = np.asarray(edges.vertex)
+    vals_np = np.asarray(vals)
+    dv_ref = np.zeros_like(vals_np)
+    dc_ref = np.zeros((m,), np.float32)
+    for v in range(cap):
+        rows = np.nonzero(ids_np == v)[0]
+        if rows.size == 0:
+            continue
+        for c in range(8):
+            col = vals_np[rows, c]
+            win = rows[np.nonzero(col == col.max())[0][-1]]  # LATEST winner
+            dv_ref[win, c] += np.asarray(gm)[v, c]
+            dc_ref[win] += np.asarray(gc)[v, c]
+    np.testing.assert_allclose(np.asarray(dv), dv_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dc), dc_ref, atol=1e-6)
