@@ -411,7 +411,10 @@ def _halo_build_apply(
         pos, val, jnp.zeros((pos.shape[0], 0), pos.dtype), mask, bounds,
         sigma, band, halo_budget, axis, n_shards,
     )
-    h = build_hierarchy(all_pos, sigma, nr_levels, caps_local, point_mask=all_mask)
+    h = build_hierarchy(
+        all_pos, sigma, nr_levels, caps_local, point_mask=all_mask,
+        point_feats=all_val,
+    )
     # per-level ownership: a vertex belongs to the stripe containing its
     # first elevated coordinate (level-l keys sit at 2^l spacing in level-0
     # units); every vertex lands in exactly one stripe globally
