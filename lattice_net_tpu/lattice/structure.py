@@ -515,15 +515,18 @@ def build_structure(
     keys, bary = permutohedral.splat_coords(scaled)  # (N, d+1, d), (N, d+1)
     edge_feats = None
     if point_feats is not None and with_edges:
-        # per-edge rows [point_feats..., bary weight]: a pure broadcast +
-        # reshape (edge e = point e // (d+1), corner e % (d+1)) — no gather
+        # per-edge rows [point_feats..., bary weight] as edge-major COLUMNS:
+        # each (n,) feature broadcasts to (n, d+1) and flattens for free
+        # (edge e = point e // (d+1), corner e % (d+1)); the earlier
+        # (n, d+1, F) + reshape form paid a real retile transpose (~0.7 ms
+        # at KITTI scale, round-3 xplane trace reshape.149)
         m = n * (d + 1)
-        pf = jnp.broadcast_to(
-            point_feats[:, None, :], (n, d + 1, point_feats.shape[1])
-        ).reshape(m, -1)
-        edge_feats = jnp.concatenate(
-            [pf, bary.reshape(m, 1).astype(pf.dtype)], axis=-1
-        )
+        edge_feats = tuple(
+            jnp.broadcast_to(
+                point_feats[:, i : i + 1].astype(jnp.float32), (n, d + 1)
+            ).reshape(m)
+            for i in range(point_feats.shape[1])
+        ) + (bary.reshape(m).astype(jnp.float32),)
     return _dedup_build(
         keys,
         bary,
@@ -583,20 +586,30 @@ def _dedup_build(
     n, d1, d = keys.shape
 
     m = n * (d + 1)
-    flat_keys = keys.reshape(m, d)
-
+    # COLUMN-WISE key handling: (n, d1) per-coordinate slices flatten to (m,)
+    # for free (edge-major layout match), where the old keys.reshape(m, d)
+    # materialized a (524288, d) retile transpose costing ~0.5 ms per use at
+    # KITTI scale (round-3 xplane trace, reshape.513/515)
+    kc = [keys[:, :, i].reshape(m) for i in range(d)]
     if point_mask is not None:
-        edge_valid = jnp.repeat(point_mask, d + 1)
-        flat_keys = jnp.where(edge_valid[:, None], flat_keys, SENTINEL)
+        edge_valid = jnp.broadcast_to(point_mask[:, None], (n, d1)).reshape(m)
+        kc = [jnp.where(edge_valid, c, SENTINEL) for c in kc]
 
-    packed = pack_key_pairs(flat_keys)  # (m, dp)
-    dp = packed.shape[1]
-    cols = tuple(packed[:, i] for i in range(dp))
-    fcols = (
-        ()
-        if edge_feats is None
-        else tuple(edge_feats[:, i] for i in range(edge_feats.shape[1]))
-    )
+    # pair-pack per column (same arithmetic as pack_key_pairs)
+    pcols = []
+    for i in range(0, d - 1, 2):
+        a, b = kc[i], kc[i + 1]
+        pcols.append(jnp.where(a == SENTINEL, SENTINEL, a * 65536 + (b + 32768)))
+    if d % 2:
+        pcols.append(kc[-1])
+    cols = tuple(pcols)
+    dp = len(cols)
+    if edge_feats is None:
+        fcols = ()
+    elif isinstance(edge_feats, tuple):
+        fcols = edge_feats  # (m,) columns, already edge-major
+    else:
+        fcols = tuple(edge_feats[:, i] for i in range(edge_feats.shape[1]))
     nf = len(fcols)
     order = None
     if need_point_maps or with_edges:
@@ -608,9 +621,9 @@ def _dedup_build(
         bits_p = max(1, m - 1).bit_length()
         bits_k = 31 - bits_p
         payload = jnp.arange(m, dtype=jnp.int32)
-        valid0 = flat_keys[:, 0] != SENTINEL
+        valid0 = kc[0] != SENTINEL
         if d % 2 == 1 and bits_k >= 10:
-            solo = flat_keys[:, -1]  # the unpaired key column
+            solo = kc[-1]  # the unpaired key column
             half = jnp.int32(1 << (bits_k - 1))
             kmax = jnp.max(jnp.abs(jnp.where(valid0, solo, 0)))
             packable = kmax < half - 1
@@ -653,10 +666,11 @@ def _dedup_build(
     else:
         sorted_ops = _lex_sort(cols)
         fsorted = ()
-    spacked = jnp.stack(sorted_ops[:dp], axis=-1)  # (m, dp) sorted
-
-    svalid = spacked[:, 0] != SENTINEL
-    differs = jnp.any(spacked[1:] != spacked[:-1], axis=-1)
+    # column-wise dedup compares (no (m, dp) stack materialization)
+    svalid = sorted_ops[0] != SENTINEL
+    differs = sorted_ops[0][1:] != sorted_ops[0][:-1]
+    for c in sorted_ops[1:dp]:
+        differs = differs | (c[1:] != c[:-1])
     is_new = svalid & jnp.concatenate([jnp.ones((1,), bool), differs])
     uid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # dense id per sorted edge
     nr_unique = jnp.sum(is_new.astype(jnp.int32))
@@ -693,10 +707,14 @@ def _dedup_build(
         )
 
     # sorted key table: any row of a run carries the key, so gather at ends
-    packed_table = jnp.where(
-        (ends >= 0)[:, None],
-        jnp.take(spacked, jnp.maximum(ends, 0), axis=0),
-        SENTINEL,
+    # (per-column 1-D gathers of (capacity,) rows — tiny)
+    e_idx = jnp.maximum(ends, 0)
+    packed_table = jnp.stack(
+        [
+            jnp.where(ends >= 0, jnp.take(c, e_idx), SENTINEL)
+            for c in sorted_ops[:dp]
+        ],
+        axis=-1,
     )
     keys_table = unpack_key_pairs(packed_table, d)
 
