@@ -106,18 +106,16 @@ _ENDS_SORT = os.environ.get("LNT_ENDS_SORT", "1") == "1"
 _MERGE_FF = os.environ.get("LNT_MERGE_FF", "1") == "1"
 
 
-def _lex_sort(operands, num_keys=None, is_stable=False, unique_payload=False):
+def _lex_sort(operands, num_keys=None, is_stable=False):
     """Build sort dispatcher (plain ``lax.sort``).
 
-    ``unique_payload=True`` declares that the trailing non-key operands form
-    a unique ascending tiebreak, so full-lex == the requested stable
-    partial-key sort.  Today the declaration is documentation (every caller
-    gets ``lax.sort`` with its requested semantics either way); it existed to
-    gate the Pallas bitonic sort, DELETED round 3 after losing its on-chip
-    A/B 10-12x — see ``ops_tpu/sort.py`` for the tombstone and numbers.
+    Historical note: this dispatcher gated the Pallas bitonic sort, DELETED
+    round 3 after losing its on-chip A/B 10-12x — see ``ops_tpu/sort.py``
+    for the tombstone and numbers.  Every build call site appends a unique
+    ascending payload as its last key operand, so full-lex == the stable
+    partial-key order the dedup relies on.
     """
     operands = tuple(operands)
-    del unique_payload
     if num_keys is None:
         num_keys = len(operands)
     return lax.sort(operands, num_keys=num_keys, is_stable=is_stable)
@@ -178,6 +176,15 @@ def _lex_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 PACK_BOUND = 1 << 14  # |k| < 16384 -> (k0 + 16384, k1 + 16384) fits 15+15 bits
 
 
+def _pack_pair_col(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """One pair-packed column: monotone in (a, b) lex order, SENTINEL-stable.
+
+    Shared by :func:`pack_key_pairs` (row form) and ``_dedup_build`` (column
+    form) so the packing arithmetic/envelope lives in exactly one place.
+    """
+    return jnp.where(a == SENTINEL, SENTINEL, a * 65536 + (b + 32768))
+
+
 def pack_key_pairs(keys: jnp.ndarray) -> jnp.ndarray:
     """Lex-order-preserving pack of (..., d) int32 keys into ceil(d/2) columns.
 
@@ -192,9 +199,7 @@ def pack_key_pairs(keys: jnp.ndarray) -> jnp.ndarray:
     d = keys.shape[-1]
     cols = []
     for i in range(0, d - 1, 2):
-        a, b = keys[..., i], keys[..., i + 1]
-        p = a * 65536 + (b + 32768)
-        cols.append(jnp.where(a == SENTINEL, SENTINEL, p))
+        cols.append(_pack_pair_col(keys[..., i], keys[..., i + 1]))
     if d % 2:
         cols.append(keys[..., d - 1])
     return jnp.stack(cols, axis=-1)
@@ -344,13 +349,13 @@ class LatticeStructure:
 
             def _plain(_):
                 # unique ascending payload as last operand: full-lex == stable
-                srt = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True, unique_payload=True)
+                srt = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True)
                 return srt[: dp - 1] + (srt[dp - 1], srt[dp])
 
             out_cols = _cond_general(kmax < half - 1, _folded, _plain, None)
             sorted_ = out_cols
         else:
-            sorted_ = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True, unique_payload=True)
+            sorted_ = _lex_sort(cols + (payload,), num_keys=dp, is_stable=True)
         sid = sorted_[dp]
 
         # last table row at-or-before each position (table ids ascend with key)
@@ -595,11 +600,9 @@ def _dedup_build(
         edge_valid = jnp.broadcast_to(point_mask[:, None], (n, d1)).reshape(m)
         kc = [jnp.where(edge_valid, c, SENTINEL) for c in kc]
 
-    # pair-pack per column (same arithmetic as pack_key_pairs)
     pcols = []
     for i in range(0, d - 1, 2):
-        a, b = kc[i], kc[i + 1]
-        pcols.append(jnp.where(a == SENTINEL, SENTINEL, a * 65536 + (b + 32768)))
+        pcols.append(_pack_pair_col(kc[i], kc[i + 1]))
     if d % 2:
         pcols.append(kc[-1])
     cols = tuple(pcols)
@@ -648,7 +651,6 @@ def _dedup_build(
                 srt = _lex_sort(
                     cols + (payload,) + fcols,
                     num_keys=dp + 1,
-                    unique_payload=True,
                 )
                 return srt[: dp - 1] + (srt[dp - 1], srt[dp]) + srt[dp + 1 :]
 
@@ -658,7 +660,7 @@ def _dedup_build(
             fsorted = out_cols[dp + 1 :]
         else:
             srt = _lex_sort(
-                cols + (payload,) + fcols, num_keys=dp + 1, unique_payload=True
+                cols + (payload,) + fcols, num_keys=dp + 1
             )
             sorted_ops = srt[:dp]
             order = srt[dp]

@@ -71,7 +71,11 @@ def main():
     values = jnp.zeros((n_points, 1), jnp.float32)
 
     model = LNN(mp)
-    h = jax.jit(lambda p: build_hierarchy(p, sigma, mp.nr_downsamples, caps))(positions)
+    h = jax.jit(
+        lambda p: build_hierarchy(
+            p, sigma, mp.nr_downsamples, caps, point_feats=values
+        )
+    )(positions)
     params = model.init(jax.random.PRNGKey(0), h, positions, values)
     occ = [int(s.nr_verts) for s in h.structures]
     print(f"occupancy per level: {occ} / {list(caps)}")
@@ -145,6 +149,7 @@ def main():
             out = build_structure(
                 p, sigma * 2.0**l, caps[l], lvl=l, need_point_maps=(l == 0),
                 with_edges=(l == 0),
+                point_feats=jnp.concatenate([p, values], -1) if l == 0 else None,
             )
             return p + feedback(out)
 
@@ -165,14 +170,14 @@ def main():
 
     # --- full hierarchy build ----------------------------------------------
     def mk_h(p):
-        hh = build_hierarchy(p, sigma, mp.nr_downsamples, caps)
+        hh = build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_feats=values)
         return p + feedback(hh)
 
     rows["build_hierarchy TOTAL"] = timeit_chained(mk_h, positions)
 
     # build-phase split: structures only (no neighbour tables)
     def mk_structs(p):
-        hh = build_hierarchy(p, sigma, mp.nr_downsamples, caps)
+        hh = build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_feats=values)
         return p + feedback((hh.structures, hh.splat_idx, hh.splat_weights, hh.edges))
 
     rows["build: structures+maps only"] = timeit_chained(mk_structs, positions)
@@ -283,7 +288,7 @@ def main():
 
     # --- end-to-end ----------------------------------------------------------
     def mk_e2e(p):
-        hh = build_hierarchy(p, sigma, mp.nr_downsamples, caps)
+        hh = build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_feats=values)
         logp, _ = model.apply(params, hh, p, values)
         return p + feedback(logp)
 

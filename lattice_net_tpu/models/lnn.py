@@ -86,12 +86,20 @@ def prepare_cloud(cloud, model_params: ModelParams):
     return positions, values, target
 
 
-def compute_class_weights(class_frequencies, background_idx: int):
-    """Inverse-log frequency class weights (``models.py:273-296``)."""
+def compute_class_weights(class_frequencies, background_idx: int | None):
+    """Inverse-log frequency class weights (``models.py:273-296``).
+
+    ``background_idx`` zeroes the ignore class's weight; pass ``None`` when
+    the loss's ignore_index is not a real class slot (e.g. -1) — zeroing
+    slot 0 there would silently unweight a REAL class (the 6-class synth
+    loader's dominant "ground").
+    """
     import jax.numpy as jnp
 
     f = jnp.asarray(class_frequencies, jnp.float32)
     w = 1.0 / jnp.log(1.05 + f)
+    if background_idx is None:
+        return w
     return w.at[background_idx].set(1e-8)
 
 

@@ -516,14 +516,30 @@ def _seg_max_fast_bwd(cap, res, cts):
 
     is_win = (vals.astype(jnp.float32) == gathered) & valid
     row_pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None], (m, c))
-    posf = jnp.where(is_win, row_pos, -1).astype(jnp.float32)
-    # interpret on CPU (tests drive this bwd directly); production reaches
-    # here only via the _use_pallas()-gated forward, i.e. on TPU
-    argpos_f, _ = _seg_max_pallas_impl(
-        posf, jnp.zeros((m,), jnp.float32), ids, run_ends, cap,
-        interpret=not _use_pallas(),
-    )
-    winner = jnp.take(argpos_f, idc, axis=0) == row_pos.astype(jnp.float32)
+    if m < (1 << 24):
+        # positions are exact in f32 below 2^24, so the argpos ride the
+        # SAME Pallas segmented scan (latest-tie selection built in).
+        # interpret on CPU (tests drive this bwd directly); production
+        # reaches here only via the _use_pallas()-gated forward, i.e. TPU.
+        posf = jnp.where(is_win, row_pos, -1).astype(jnp.float32)
+        argpos_f, _ = _seg_max_pallas_impl(
+            posf, jnp.zeros((m,), jnp.float32), ids, run_ends, cap,
+            interpret=not _use_pallas(),
+        )
+        winner = jnp.take(argpos_f, idc, axis=0) == row_pos.astype(jnp.float32)
+    else:
+        # huge edge streams (>= 2^24): f32 positions would collide; keep the
+        # exact int32 scatter-max formulation
+        argpos = (
+            jnp.full((cap, c), -1, jnp.int32)
+            .at[ids]
+            .max(
+                jnp.where(is_win, row_pos, -1),
+                mode="drop",
+                indices_are_sorted=True,
+            )
+        )
+        winner = jnp.take(argpos, idc, axis=0) == row_pos
     winner = winner & is_win
 
     d_vals = jnp.where(winner, gm, 0.0).astype(vals.dtype)

@@ -275,7 +275,7 @@ def run(
                 counts += np.bincount(lbl, minlength=nr_classes)[:nr_classes]
             freqs = counts / max(counts.sum(), 1)
         class_weights = compute_class_weights(
-            freqs, ignore_index if ignore_index >= 0 else 0
+            freqs, ignore_index if ignore_index >= 0 else None
         )
         print(f"class weights: {np.round(np.asarray(class_weights), 3).tolist()}")
     sigma = lp.sigmas[0] if len(set(lp.sigmas)) == 1 else np.asarray(lp.sigmas)
