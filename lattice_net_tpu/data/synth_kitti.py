@@ -283,6 +283,10 @@ class SynthKitti:
         self.nr_classes = classes
         # 20-class scenes use the real dataset's ignore semantics (train id 0)
         self.ignore_index = 0 if classes == 20 else -1
+        # every scene is EXACTLY n_points: batches built at this budget carry
+        # all-true point masks, so the trainer may build mask-free
+        # (make_loss_fn full_mask) and sort-invert the point->vertex map
+        self.fixed_n_points = n_points
 
     def __len__(self):
         return self.nr_samples

@@ -110,6 +110,7 @@ def make_loss_fn(
     class_weights=None,
     canonical_points: bool = False,
     force_vmap: bool = False,
+    full_mask: bool = False,
 ) -> Callable:
     """Batched (vmapped) loss over a padded batch of clouds.
 
@@ -117,6 +118,14 @@ def make_loss_fn(
     batch must then come from ``make_batch(..., canonical=sigma)`` (host-side
     reorder).  Any order stays correct (the build falls back per lax.cond),
     but an uncanonical batch would forfeit the speed-up.
+
+    ``full_mask=True`` promises every batch's point_mask is ALL TRUE (the
+    loader emits fixed-size clouds, no padding — e.g. the procedural KITTI
+    generators).  The build then runs mask-free, which unlocks the
+    sort-based inverse permutation for the point->vertex map (~2.5 ms/step
+    at KITTI scale; the scatter path is required under real masks).  The
+    LOSS still applies the mask array, so a violated promise skews the
+    lattice (padding points become vertices) but never the loss masking.
 
     A batch of ONE cloud (the production shape: one scan per step / per DP
     shard) bypasses ``vmap`` and squeezes the batch axis so XLA sees the
@@ -132,7 +141,8 @@ def make_loss_fn(
         from lattice_net_tpu.train.callbacks import iou_counts_device
 
         h = build_hierarchy(
-            positions, sigma, nr_levels, capacities, point_mask=point_mask,
+            positions, sigma, nr_levels, capacities,
+            point_mask=None if full_mask else point_mask,
             canonical_points=canonical_points, point_feats=values,
         )
         kwargs = {}
@@ -193,12 +203,12 @@ def make_loss_fn(
 
 def make_train_step(
     model, tx, sigma, nr_levels, capacities, ignore_index=-1, class_weights=None,
-    canonical_points=False,
+    canonical_points=False, full_mask=False,
 ):
     """Single-device (or inner, per-shard) jittable train step."""
     loss_fn = make_loss_fn(
         model, sigma, nr_levels, capacities, ignore_index, class_weights,
-        canonical_points=canonical_points,
+        canonical_points=canonical_points, full_mask=full_mask,
     )
 
     # reduce_on_plateau (and other extra-args transforms) consume the loss

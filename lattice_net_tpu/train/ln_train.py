@@ -286,6 +286,13 @@ def run(
         first = loader_train.get_cloud(0)
         n_points = 1 << int(np.ceil(np.log2(max(len(first.V), 512))))
 
+    # mask-free builds when the loader guarantees fixed-size clouds at the
+    # static budget (no padding => all-true masks; the loss still applies
+    # the mask array, so this only unlocks the faster build formulation)
+    full_mask = getattr(loader_train, "fixed_n_points", None) == n_points
+    if full_mask:
+        print("fixed-size clouds: building mask-free (sort-based inverse maps)")
+
     batch_size = max(1, tp.batch_size)
     mesh = None
     sp_mesh = None
@@ -431,10 +438,12 @@ def run(
         train_step = jax.jit(make_train_step(
             model, tx, sigma, mp.nr_downsamples, caps, ignore_index,
             class_weights=class_weights, canonical_points=canon,
+            full_mask=full_mask,
         ))
     loss_fn = make_loss_fn(
         model, sigma, mp.nr_downsamples, caps, ignore_index,
         class_weights=class_weights, canonical_points=canon,
+        full_mask=full_mask,
     )
     eval_step = jax.jit(lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0), False))
 

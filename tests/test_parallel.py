@@ -131,3 +131,30 @@ def test_b1_vmap_bypass_matches_vmap():
         )
     for a, b in zip(jax.tree_util.tree_leaves(gv), jax.tree_util.tree_leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_full_mask_build_matches_masked():
+    """full_mask=True (mask-free build; loader guarantees no padding) must
+    produce identical loss, metrics, and grads to the masked build on an
+    all-true-mask batch — the build paths differ (sort-based vs scatter
+    inverse maps) but are bit-compatible."""
+    from lattice_net_tpu.parallel import make_loss_fn
+
+    tx = make_optimizer(1e-3)
+    model, state = _init_state(tx)
+    # a cloud at EXACTLY the static budget: no padding, all-true mask
+    c = make_toy_cloud(n_points=N_POINTS, nr_classes=4, seed=9)
+    batch = make_batch([prepare_cloud(c, MP)], MP, N_POINTS)
+    assert bool(np.all(np.asarray(batch["point_mask"])))
+    key = jax.random.PRNGKey(4)
+    lf_m = make_loss_fn(model, SIGMA, 1, CAPS)
+    lf_f = make_loss_fn(model, SIGMA, 1, CAPS, full_mask=True)
+    (lm, mm), gm = jax.value_and_grad(lf_m, has_aux=True)(state.params, batch, key)
+    (lf, mf), gf = jax.value_and_grad(lf_f, has_aux=True)(state.params, batch, key)
+    np.testing.assert_allclose(float(lm), float(lf), rtol=1e-6)
+    for k in mm:
+        np.testing.assert_allclose(
+            np.asarray(mm[k]), np.asarray(mf[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(gm), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
