@@ -266,4 +266,7 @@ def model_params_from_config(cfg: dict, nr_classes: int):
         compression_factor=float(m.get("compression_factor", 1.0)),
         dropout_last_layer=float(m.get("dropout_last_layer", 0.0)),
         experiment=m.get("experiment", "none"),
+        # not a reference knob: rematerialize block activations in the
+        # backward (training-memory lever for ScanNet-class capacities)
+        remat_blocks=bool(m.get("remat_blocks", False)),
     )

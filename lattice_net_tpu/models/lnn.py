@@ -44,6 +44,11 @@ class ModelParams:
     compression_factor: float = struct.field(pytree_node=False, default=1.0)
     dropout_last_layer: float = struct.field(pytree_node=False, default=0.0)
     experiment: str = struct.field(pytree_node=False, default="none")
+    # rematerialize every Resnet/Bottleneck block in the backward instead of
+    # storing activations: trades ~one extra forward of block FLOPs for a
+    # large activation-memory cut — the knob for training at ScanNet-class
+    # capacities (2^21 vertices x wide channels) on one chip.
+    remat_blocks: bool = struct.field(pytree_node=False, default=False)
 
 
 def prepare_cloud(cloud, model_params: ModelParams):
@@ -160,15 +165,34 @@ class LNN(nn.Module):
 
         down_plan, up_plan, final_channels = channel_plan(p)
 
+        # remat (jax.checkpoint) the block bodies when asked: bitwise-equal
+        # outputs and (to float tolerance) grads, ~p.nr_blocks extra block
+        # forwards in exchange for not storing their activations.  Explicit
+        # names replicate the plain path's auto-naming (ResnetBlock_0, ...)
+        # so checkpoints interchange when the knob flips.
+        import itertools as _it
+
+        _rn, _bn = _it.count(), _it.count()
+        if p.remat_blocks:
+            _R, _B = nn.remat(lnm.ResnetBlock), nn.remat(lnm.BottleneckBlock)
+        else:
+            _R, _B = lnm.ResnetBlock, lnm.BottleneckBlock
+
+        def Resnet(*a, **kw):
+            return _R(*a, name=f"ResnetBlock_{next(_rn)}", **kw)
+
+        def Bottleneck(*a, **kw):
+            return _B(*a, name=f"BottleneckBlock_{next(_bn)}", **kw)
+
         # --- down path
         skip_values = []
         for i in range(p.nr_downsamples):
             cur, after = down_plan[i]
             for j in range(p.nr_blocks_down_stage[i]):
                 if i < p.nr_levels_down_with_normal_resnet:
-                    lv = lnm.ResnetBlock(cur, (False, False))(lv, h.neighbors_same[i], masks[i])
+                    lv = Resnet(cur, (False, False))(lv, h.neighbors_same[i], masks[i])
                 else:
-                    lv = lnm.BottleneckBlock(cur, (False, False, False))(
+                    lv = Bottleneck(cur, (False, False, False))(
                         lv, h.neighbors_same[i], masks[i]
                     )
             skip_values.append(lv)
@@ -182,7 +206,7 @@ class LNN(nn.Module):
         # --- bottleneck
         bott_ch = down_plan[-1][1]
         for j in range(p.nr_blocks_bottleneck):
-            lv = lnm.BottleneckBlock(bott_ch, (False, False, False))(
+            lv = Bottleneck(bott_ch, (False, False, False))(
                 lv, h.neighbors_same[p.nr_downsamples], masks[p.nr_downsamples]
             )
 
@@ -198,9 +222,9 @@ class LNN(nn.Module):
             for j in range(p.nr_blocks_up_stage[i]):
                 is_last = (j == p.nr_blocks_up_stage[i] - 1) and (i == p.nr_downsamples - 1)
                 if i >= p.nr_downsamples - p.nr_levels_up_with_normal_resnet:
-                    lv = lnm.ResnetBlock(ch, (False, is_last))(lv, h.neighbors_same[lvl], masks[lvl])
+                    lv = Resnet(ch, (False, is_last))(lv, h.neighbors_same[lvl], masks[lvl])
                 else:
-                    lv = lnm.BottleneckBlock(ch, (False, False, is_last))(
+                    lv = Bottleneck(ch, (False, False, is_last))(
                         lv, h.neighbors_same[lvl], masks[lvl]
                     )
 

@@ -131,3 +131,41 @@ def test_experiment_modes_run():
 
     assert not np.allclose(outs["none"], outs["slice_no_deform"])
     assert not np.allclose(outs["none"], outs["pointnet_no_local_mean"])
+
+
+def test_remat_blocks_matches_plain():
+    # remat_blocks=True must produce identical outputs and (to float
+    # tolerance) identical grads — it only changes what the backward stores.
+    import numpy as np
+    from lattice_net_tpu.lattice.structure import build_hierarchy
+    from lattice_net_tpu.models.lnn import LNN, ModelParams
+
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.normal(size=(800, 3)).astype(np.float32) * 2)
+    vals = jnp.asarray(rng.normal(size=(800, 1)).astype(np.float32))
+    caps = (2048, 1024, 512)
+    kw = dict(
+        nr_classes=5,
+        pointnet_channels_per_layer=(8, 16),
+        pointnet_start_nr_channels=16,
+        nr_downsamples=2,
+        nr_blocks_down_stage=(1, 1),
+        nr_blocks_bottleneck=1,
+        nr_blocks_up_stage=(1, 1),
+        nr_levels_down_with_normal_resnet=1,
+        nr_levels_up_with_normal_resnet=1,
+    )
+    h = build_hierarchy(pos, 0.5, 2, caps, point_feats=vals)
+    m0 = LNN(ModelParams(**kw))
+    m1 = LNN(ModelParams(**kw, remat_blocks=True))
+    params = m0.init(jax.random.PRNGKey(0), h, pos, vals)
+
+    def loss(m, p):
+        logp, _ = m.apply(p, h, pos, vals)
+        return jnp.sum(logp[:, 1])
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
