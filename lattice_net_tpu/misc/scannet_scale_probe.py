@@ -88,6 +88,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--small-model", action="store_true",
                     help="use the KITTI smallernet instead of the full ScanNet net")
+    ap.add_argument("--train-step", action="store_true",
+                    help="additionally run ONE full train step (loss+backward+"
+                    "AdamW) at the 2^21 model capacities with remat_blocks — "
+                    "the activation-memory regime the knob exists for")
     ap.add_argument("--table-only", action="store_true",
                     help="run only the 5M-capacity table/lookup/map build phase "
                     "(machinery proof; usable on a CPU host when no chip is up — "
@@ -221,6 +225,44 @@ def main():
     pred.block_until_ready()
     ms = (time.perf_counter() - t0) / args.iters * 1000
     print(f"end-to-end build+forward: {ms:.1f} ms/cloud over {args.iters} chained iters")
+
+    if args.train_step:
+        # one full step at scale: build + forward + Lovasz/NLL + backward +
+        # AdamW with rematerialized blocks (ModelParams.remat_blocks)
+        from lattice_net_tpu.parallel import TrainState, make_train_step
+        from lattice_net_tpu.train import make_optimizer
+
+        mp_r = mp.replace(remat_blocks=True)
+        model_r = LNN(mp_r)
+        tx = make_optimizer(1e-3, weight_decay=1e-4)
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_train_step(
+            model_r, tx, sigma, mp.nr_downsamples, caps,
+            ignore_index=0, full_mask=True,
+        ))
+        tgt = jnp.asarray(
+            np.random.default_rng(2).integers(1, mp.nr_classes, n), jnp.int32
+        )
+        batch = {
+            "positions": positions[None],
+            "values": values[None],
+            "target": tgt[None],
+            "point_mask": jnp.ones((1, n), bool),
+        }
+        rng_t = jax.random.PRNGKey(3)
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, rng_t)
+        jax.block_until_ready(state)
+        print(f"train step (remat) compile+first run: {time.perf_counter() - t0:.1f} s")
+        t0 = time.perf_counter()
+        for _ in range(max(2, args.iters // 2)):
+            state, metrics = step(state, batch, rng_t)
+        jax.block_until_ready(state)
+        t_ms = (time.perf_counter() - t0) / max(2, args.iters // 2) * 1000
+        print(
+            f"train step (remat_blocks) at caps {list(caps)}: {t_ms:.1f} ms/step, "
+            f"loss {float(metrics['loss']):.4f}"
+        )
 
     import json
 
