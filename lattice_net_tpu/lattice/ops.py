@@ -123,6 +123,9 @@ __all__ = [
     "slice_lattice",
     "gather_lattice",
     "slice_classify",
+    "blur",
+    "bilateral_blur",
+    "create_splatting_mask",
     "segment_sum",
     "segment_mean",
     "segment_max_with_src",
@@ -701,11 +704,18 @@ def _conv_flip_bwd(same_level, res, g):
     nb = _conv_row_blocks(cq, extent, c_in, v.dtype.itemsize)
     if nb > 1:
         # chunked patch recompute: per-block patch_bᵀ @ g_b, summed — peak
-        # memory one block patch instead of the full (Cq, extent, C) tensor
+        # memory one block patch instead of the full (Cq, extent, C) tensor.
+        # Rows pad to nb equal blocks exactly like _conv_fwd_chunked (padded
+        # g rows are zero, so they add nothing to d_w).
         cap = v.shape[0]
-        b = cq // nb
-        val_cols = neighbors < cap
-        mono = jnp.maximum(jax.lax.cummax(jnp.where(val_cols, neighbors, -1), axis=0), 0)
+        b = -(-cq // nb)
+        cq_pad = b * nb
+        nbrs = neighbors
+        if cq_pad != cq:
+            nbrs = jnp.pad(neighbors, ((0, cq_pad - cq), (0, 0)), constant_values=cap)
+            gq = jnp.pad(gq, ((0, cq_pad - cq), (0, 0)))
+        val_cols = nbrs < cap
+        mono = jnp.maximum(jax.lax.cummax(jnp.where(val_cols, nbrs, -1), axis=0), 0)
         dnums = _conv_gather_dnums()
 
         def block(args):
@@ -718,7 +728,7 @@ def _conv_flip_bwd(same_level, res, g):
                     v, mo[:, i : i + 1], dnums, (1, c_in),
                     indices_are_sorted=True, mode=jax.lax.GatherScatterMode.CLIP,
                 )
-                for i in range(neighbors.shape[1])
+                for i in range(k)
             ]
             pb = jnp.where(va[..., None], jnp.stack(cols, axis=1), 0)
             if same_level:
@@ -729,7 +739,10 @@ def _conv_flip_bwd(same_level, res, g):
 
         xs = (mono.reshape(nb, b, -1), val_cols.reshape(nb, b, -1))
         if same_level:
-            xs = xs + (v[:cq].reshape(nb, b, c_in),)
+            centers = v[:cq]
+            if cq_pad != cq:
+                centers = jnp.pad(centers, ((0, cq_pad - cq), (0, 0)))
+            xs = xs + (centers.reshape(nb, b, c_in),)
         xs = xs + (gq.reshape(nb, b, c_out),)
         d_w = jnp.sum(jax.lax.map(block, xs), axis=0).astype(weight.dtype)
     else:
@@ -889,6 +902,89 @@ def gather_lattice(
     w = jnp.where(splat_idx < capacity, splat_weights, 0.0)  # (N, d+1)
     blocks = jnp.concatenate([v * w[..., None], w[..., None]], axis=-1)
     return blocks.reshape(n, d1 * (c + 1))
+
+
+def blur(
+    values: jnp.ndarray,
+    neighbors_same: jnp.ndarray,
+    axis: int,
+) -> jnp.ndarray:
+    """One permutohedral blur pass along lattice axis ``axis``.
+
+    ``blur`` (``LatticeGPU.cuh:975-1037``, legacy bilateral-filter path —
+    unused by the segmentation model but part of the kernel inventory):
+    out_v = 0.25 * values[n+] + 0.5 * values[v] + 0.25 * values[n-], where
+    n+/n- are the 1-hop neighbours along ``axis`` (the reference's
+    ``remainder``) and missing neighbours contribute zero.  The repo's
+    same-level neighbour table already stores exactly those ids (slot 2a is
+    the '+' move on axis a, slot 2a+1 the '-'), so this is two masked
+    monotone-column gathers — no hash retrieval at call time.
+
+    Padding rows (>= nr_verts) keep the usual garbage-tolerated discipline:
+    their neighbour slots are invalid so they only see 0.5x their own value.
+
+    Args:
+      values: (capacity, C) vertex values.
+      neighbors_same: (capacity, 2(d+1)) same-level table
+        (:func:`structure.build_neighbors_same_level`).
+      axis: lattice axis in [0, d] (d = pos_dim is the implicit coordinate).
+    Returns: (capacity, C) blurred values.
+    """
+    k = neighbors_same.shape[1]
+    if not 0 <= 2 * axis < k:
+        raise ValueError(f"axis {axis} out of range for extent {k}")
+    cols = neighbors_same[:, 2 * axis : 2 * axis + 2]  # (cap, 2) [+, -]
+    patch, valid = _take_monotone_columns(values, cols)
+    patch = jnp.where(valid[..., None], patch, 0.0)
+    return 0.25 * (patch[:, 0] + patch[:, 1]) + 0.5 * values[: cols.shape[0]]
+
+
+def bilateral_blur(values: jnp.ndarray, neighbors_same: jnp.ndarray) -> jnp.ndarray:
+    """Full separable permutohedral blur: one :func:`blur` pass per axis,
+    matching the reference host loop over ``remainder`` in [0, d]."""
+    d1 = neighbors_same.shape[1] // 2
+    for a in range(d1):
+        values = blur(values, neighbors_same, a)
+    return values
+
+
+def create_splatting_mask(
+    rng: jax.Array,
+    splat_idx: jnp.ndarray,
+    max_nr_points: int,
+    capacity: int,
+    counts: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Stochastic cap on splat contributions per lattice vertex.
+
+    ``create_splatting_mask`` (``LatticeGPU.cuh:653-704``, unused by the
+    model): an edge splatting onto a vertex holding more than
+    ``max_nr_points`` points survives with probability ~max/count so each
+    vertex keeps on the order of ``max_nr_points`` contributions.  The
+    reference seeds a per-thread LCG and truncates ``count/max`` to an int
+    before inverting; here the keep probability is the exact
+    ``max_nr_points / count`` with a counted JAX PRNG — same expected
+    survivor count, deterministic under a fixed key.
+
+    Args:
+      rng: PRNG key.
+      splat_idx: (N, d+1) int32 vertex ids (invalid = capacity).
+      max_nr_points: cap per vertex.
+      capacity: table capacity (for the internal count when ``counts`` is
+        not provided).
+      counts: optional (capacity,) precomputed points-per-vertex.
+    Returns: bool (N, d+1); invalid edges are False.
+    """
+    n, d1 = splat_idx.shape
+    flat = splat_idx.reshape(-1)
+    valid = flat < capacity
+    if counts is None:
+        ones = jnp.ones((n * d1, 1), jnp.float32)
+        counts = segment_sum(ones, flat, capacity)[:, 0]
+    per_edge = jnp.take(counts, jnp.minimum(flat, capacity - 1), axis=0)
+    keep_p = jnp.minimum(1.0, max_nr_points / jnp.maximum(per_edge, 1.0))
+    u = jax.random.uniform(rng, (n * d1,))
+    return ((u < keep_p) & valid).reshape(n, d1)
 
 
 def slice_classify(

@@ -21,6 +21,7 @@ coarsen/finefy (``:274-292``), kaiming-normal fan-in for 1x1 linears
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Mapping
 from typing import Sequence
 
@@ -571,12 +572,36 @@ class SliceFastModule(nn.Module):
             cur = out
         lv_b = GnRelu1x1(cur, self.bottleneck_size, use_bias=False)(lv_b, mask)
 
+        cls_gain = leaky_relu_gain(1.0)  # reference: leaky_relu_init(linear, 1.0)
+        w_init = kaiming_uniform_rows(self.in_channels, cls_gain)
+        cls_w = self.param("classify_kernel", w_init, (self.nr_classes, self.in_channels))
+        cls_b = self.param("classify_bias", nn.initializers.zeros, (self.nr_classes,))
+
+        # The classifier is linear, so it commutes with the barycentric sum:
+        # sum_k w_k * (lv[idx_k] @ W^T) == (sum_k w_k * lv[idx_k]) @ W^T.
+        # Pre-classifying the TABLE (cap x C -> cap x nr_classes, one MXU
+        # matmul) shrinks the per-row gather from C to nr_classes channels —
+        # and, decisively, shrinks AD's backward scatter-add the same way
+        # (f32[524288,104] -> f32[524288,28] at KITTI bench shapes; the 104-ch
+        # scatter was the single biggest HLO in the train step at 7.1 ms).
+        # LNT_HEAD_PRECLASSIFY=0 restores the gather-then-classify order for
+        # A/B (read at trace time; retrace to flip).
+        preclassify = os.environ.get("LNT_HEAD_PRECLASSIFY", "1") == "1"
+        if preclassify:
+            lv_eff = lv
+            if self.dropout > 0.0:
+                lv_eff = channel_dropout(self, lv, self.dropout, deterministic)
+            acc = jnp.result_type(lv.dtype, cls_w.dtype, jnp.float32)
+            wide = jnp.dot(lv_eff, cls_w.T, preferred_element_type=acc)
+        else:
+            wide = lv
+
         # ONE row gather serves both heads: the bottleneck features (for the
-        # delta-weight MLP, = ops.gather_lattice) and the full-width values
+        # delta-weight MLP, = ops.gather_lattice) and the wide values
         # (for the fused classify, = the gather inside ops.slice_classify).
         # Row gathers are latency-bound, so halving the row count halves the
         # cost; width is nearly free.
-        both = jnp.concatenate([lv_b, lv], axis=1)  # (cap, bottleneck + C)
+        both = jnp.concatenate([lv_b, wide], axis=1)  # (cap, bottleneck + C')
         g_all = lops.gather_rows_clustered(lops._maybe_bf16(both), splat_idx)
         g_b = g_all[..., : self.bottleneck_size].astype(jnp.float32)
         g_v = g_all[..., self.bottleneck_size :]
@@ -604,21 +629,22 @@ class SliceFastModule(nn.Module):
         if self.experiment == "slice_no_deform":
             delta = jnp.zeros_like(delta)
 
-        if self.dropout > 0.0:
-            lv = channel_dropout(self, lv, self.dropout, deterministic)
+        w_def = jnp.where(valid, splat_weights + delta, 0.0)
+        if preclassify:
+            # g_v already holds per-corner LOGITS; the deformable slice is the
+            # last reduction (dropout, if any, was applied to lv pre-matmul —
+            # same semantics as the gather-order path below).
+            acc = jnp.result_type(g_v.dtype, jnp.float32)
+            return jnp.sum(g_v.astype(acc) * w_def[..., None], axis=1) + cls_b
 
-        cls_gain = leaky_relu_gain(1.0)  # reference: leaky_relu_init(linear, 1.0)
-        w_init = kaiming_uniform_rows(self.in_channels, cls_gain)
-        cls_w = self.param("classify_kernel", w_init, (self.nr_classes, self.in_channels))
-        cls_b = self.param("classify_bias", nn.initializers.zeros, (self.nr_classes,))
         # fused deformable slice + classify on the already-gathered values
         # (semantics of ops.slice_classify, reusing g_v from the single
         # gather above); dropout applies to the vertex values -> re-gathering
         # would be needed if dropout is active, so keep the reference path
         # there (training-only).
         if self.dropout > 0.0:
+            lv = channel_dropout(self, lv, self.dropout, deterministic)
             return lops.slice_classify(lv, splat_idx, splat_weights, delta, cls_w, cls_b)
-        w_def = jnp.where(valid, splat_weights + delta, 0.0)
         sliced = jnp.sum(g_v * w_def[..., None], axis=1)  # (n, C)
         acc = jnp.result_type(sliced.dtype, cls_w.dtype, jnp.float32)
         return jnp.dot(sliced, cls_w.T, preferred_element_type=acc) + cls_b

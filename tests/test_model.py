@@ -169,3 +169,51 @@ def test_remat_blocks_matches_plain():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dropout", [0.0, 0.3])
+def test_head_preclassify_matches_gather_order(monkeypatch, dropout):
+    # LNT_HEAD_PRECLASSIFY moves the linear classifier BEFORE the head's row
+    # gather (classify the table, slice logits) — exact linear algebra, so
+    # outputs and grads must match the gather-then-classify order to float
+    # tolerance, including under channel dropout (same rng stream).
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.normal(size=(700, 3)).astype(np.float32) * 2)
+    vals = jnp.asarray(rng.normal(size=(700, 1)).astype(np.float32))
+    caps = (2048, 1024, 512)
+    mp = ModelParams(
+        nr_classes=5,
+        pointnet_channels_per_layer=(8, 16),
+        pointnet_start_nr_channels=16,
+        nr_downsamples=2,
+        nr_blocks_down_stage=(1, 1),
+        nr_blocks_bottleneck=1,
+        nr_blocks_up_stage=(1, 1),
+        nr_levels_down_with_normal_resnet=1,
+        nr_levels_up_with_normal_resnet=1,
+        dropout_last_layer=dropout,
+    )
+    h = build_hierarchy(pos, 0.5, 2, caps, point_feats=vals)
+    model = LNN(mp)
+    params = model.init(jax.random.PRNGKey(0), h, pos, vals)
+    droprng = {"dropout": jax.random.PRNGKey(9)}
+
+    def loss(p):
+        logp, _ = model.apply(
+            p, h, pos, vals, deterministic=False, rngs=droprng
+        )
+        return jnp.sum(logp[:, 1]), logp
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("LNT_HEAD_PRECLASSIFY", flag)
+        (l, logp), g = jax.value_and_grad(loss, has_aux=True)(params)
+        outs[flag] = (l, logp, g)
+    np.testing.assert_allclose(
+        np.asarray(outs["1"][1]), np.asarray(outs["0"][1]), rtol=1e-5, atol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs["1"][2]),
+        jax.tree_util.tree_leaves(outs["0"][2]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

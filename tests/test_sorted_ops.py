@@ -357,6 +357,37 @@ def test_conv_chunked_nondivisible_rows(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_conv_flip_bwd_chunked_nondivisible_rows(monkeypatch):
+    # the flip-VJP's chunked d_weight recompute must pad rows to equal
+    # blocks exactly like the forward (regression: b = cq // nb reshape
+    # crash at 2^21 capacity with nb = 5, hit by
+    # scannet_scale_probe --train-step on chip)
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    cap, k, c_in, c_out = 509, 8, 4, 3  # prime same-level capacity
+    values = jnp.asarray(rng.normal(size=(cap, c_in)).astype(np.float32))
+    neighbors = jnp.asarray(
+        np.sort(rng.integers(0, cap + 1, (cap, k)).astype(np.int32), axis=0)
+    )
+    w = jnp.asarray(rng.normal(size=((k + 1) * c_in, c_out)).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.normal(size=(cap, c_out)).astype(np.float32))
+
+    def loss(v, w):
+        return jnp.sum(ops.conv_im2row(v, neighbors, w, same_level=True) * cot)
+
+    # flip path engages (same-level tables are their own transpose); compare
+    # the chunked flip backward against the unchunked flip backward
+    gv_ref, gw_ref = jax.grad(loss, argnums=(0, 1))(values, w)
+    monkeypatch.setenv("LNT_CONV_CHUNK_BYTES", str(cap * (k + 1) * c_in * 4 // 7))
+    assert ops._conv_row_blocks(cap, k + 1, c_in, 4) > 1
+    gv, gw = jax.grad(loss, argnums=(0, 1))(values, w)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref), rtol=1e-5, atol=1e-5)
+    # d_weight is a sum over row blocks -> f32 accumulation order differs
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=1e-4, atol=1e-4)
+
+
 def test_merge_lookup_invperm_sort_identical(hier, monkeypatch):
     # LNT_INVPERM_SORT=1 replaces merge_lookup's inverse-permutation scatter
     # with a 2-op sort; results must be bit-identical for hits AND misses.

@@ -636,3 +636,70 @@ def test_merge_ff_lookup_identical(rng, monkeypatch):
     b = np.asarray(s.merge_lookup(q))
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(a, np.asarray(s.lookup(q)))
+
+
+def test_blur_matches_key_oracle(rng):
+    # ops.blur must equal the scalar oracle: for each occupied vertex, find
+    # the vertices at key +/- the axis move and average 0.25/0.5/0.25
+    # (missing -> 0), per LatticeGPU.cuh:975-1037.
+    from lattice_net_tpu.lattice import ops as lops
+
+    pts = _cloud(rng, n=300)
+    s, _, _ = st.build_structure(jnp.asarray(pts), 0.5, capacity=2048)
+    nbr = st.build_neighbors_same_level(s)
+    nr = int(s.nr_verts)
+    d = s.pos_dim
+    vals = jnp.asarray(rng.normal(size=(s.capacity, 5)).astype(np.float32))
+
+    keys_np = np.asarray(s.keys)[:nr]
+    key_to_id = {tuple(k): i for i, k in enumerate(keys_np)}
+    moves = st._axis_moves_np(d)
+    vals_np = np.asarray(vals)
+
+    for axis in range(d + 1):
+        out = np.asarray(lops.blur(vals, nbr, axis))
+        for v in range(nr):
+            kp = tuple(keys_np[v] + moves[axis])
+            km = tuple(keys_np[v] - moves[axis])
+            vp = vals_np[key_to_id[kp]] if kp in key_to_id else 0.0
+            vm = vals_np[key_to_id[km]] if km in key_to_id else 0.0
+            want = 0.25 * vp + 0.5 * vals_np[v] + 0.25 * vm
+            np.testing.assert_allclose(out[v], want, rtol=1e-6, atol=1e-6)
+
+    # bilateral_blur = sequential per-axis passes
+    seq = vals
+    for axis in range(d + 1):
+        seq = lops.blur(seq, nbr, axis)
+    np.testing.assert_allclose(
+        np.asarray(lops.bilateral_blur(vals, nbr))[:nr], np.asarray(seq)[:nr],
+        rtol=1e-6,
+    )
+
+
+def test_create_splatting_mask(rng):
+    from lattice_net_tpu.lattice import ops as lops
+
+    pts = _cloud(rng, n=500)
+    s, vid, _ = st.build_structure(jnp.asarray(pts), 1.5, capacity=1024)
+    cap = s.capacity
+    max_pts = 4
+    key = jax.random.PRNGKey(0)
+    mask = lops.create_splatting_mask(key, vid, max_pts, cap)
+    assert mask.shape == vid.shape and mask.dtype == jnp.bool_
+
+    vid_np = np.asarray(vid).reshape(-1)
+    m_np = np.asarray(mask).reshape(-1)
+    # invalid edges never survive
+    assert not m_np[vid_np >= cap].any()
+    counts = np.bincount(vid_np[vid_np < cap], minlength=cap)
+    # edges onto under-capacity vertices always survive
+    under = (vid_np < cap) & (counts[np.minimum(vid_np, cap - 1)] <= max_pts)
+    assert m_np[under].all()
+    # overfilled vertices keep ~max_pts in expectation (loose statistical bound)
+    over_ids = np.nonzero(counts > 2 * max_pts)[0]
+    if len(over_ids):
+        kept = np.array([m_np[vid_np == v].sum() for v in over_ids])
+        assert kept.mean() < 3 * max_pts
+    # deterministic under the same key
+    mask2 = lops.create_splatting_mask(key, vid, max_pts, cap)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask2))
