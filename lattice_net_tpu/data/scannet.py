@@ -86,9 +86,13 @@ class ScanNet:
         shuffle: bool = True,
         do_overfit: bool = False,
         seed: int = 0,
+        transform=None,
     ):
         self.root = Path(dataset_path)
         self.mode = mode
+        # geometric + hsv augmentation (reference recipe:
+        # /root/reference/config/lnn_train_scannet.cfg:84-100); train only
+        self.transform = transform
         self.max_points = max_nr_points_per_cloud
         self.shuffle = shuffle
         self.do_overfit = do_overfit
@@ -132,6 +136,10 @@ class ScanNet:
         if self.max_points > 0 and len(V) > self.max_points:
             sel = self.rng.choice(len(V), self.max_points, replace=False)
             V, C, L = V[sel], C[sel], L[sel]
+        if self.transform is not None and self.mode == "train":
+            from lattice_net_tpu.data.transforms import apply_transform_full
+
+            V, L, C, _ = apply_transform_full(V, L, self.transform, self.rng, colors=C)
         scene_name = path.stem.split("_vh_clean")[0]
         return ToyCloud(
             V=V, C=C, I=np.zeros((len(V), 1), np.float32), L_gt=L, name=scene_name

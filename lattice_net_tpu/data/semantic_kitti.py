@@ -68,9 +68,14 @@ class SemanticKitti:
         do_overfit: bool = False,
         seed: int = 0,
         sequences=None,
+        transform=None,
     ):
         self.root = Path(dataset_path)
         self.mode = mode
+        # geometric augmentation (reference recipe:
+        # /root/reference/config/lnn_train_semantic_kitti.cfg:110-122);
+        # train-mode only, applied after the distance/point caps
+        self.transform = transform
         self.cap_distance = cap_distance
         self.max_points = max_nr_points_per_cloud
         self.shuffle = shuffle
@@ -104,12 +109,7 @@ class SemanticKitti:
         else:
             L = np.zeros((len(V), 1), np.int32)
 
-        if self.cap_distance > 0:
-            keep = np.linalg.norm(V, axis=1) < self.cap_distance
-            V, I, L = V[keep], I[keep], L[keep]
-        if self.max_points > 0 and len(V) > self.max_points:
-            sel = self.rng.choice(len(V), self.max_points, replace=False)
-            V, I, L = V[sel], I[sel], L[sel]
+        V, I, L = self._postprocess(V, I, L)
         return ToyCloud(
             V=V.astype(np.float32),
             C=np.zeros_like(V),
@@ -125,6 +125,10 @@ class SemanticKitti:
         if self.max_points > 0 and len(V) > self.max_points:
             sel = self.rng.choice(len(V), self.max_points, replace=False)
             V, I, L = V[sel], I[sel], L[sel]
+        if self.transform is not None and self.mode == "train":
+            from lattice_net_tpu.data.transforms import apply_transform_full
+
+            V, L, _, I = apply_transform_full(V, L, self.transform, self.rng, intensity=I)
         return V, I, L
 
     def __iter__(self):

@@ -271,14 +271,19 @@ class SynthKitti:
         do_overfit: bool = False,
         seed: int = 0,
         classes: int = 6,
+        transform=None,
     ):
         assert classes in (6, 20), classes
+        # geometric augmentation, mirroring the reference KITTI recipe
+        # (/root/reference/config/lnn_train_semantic_kitti.cfg:110-122)
+        self.transform = transform
         self.mode = mode
         self.nr_samples = 1 if do_overfit else nr_samples
         self.n_points = n_points
         self.max_range = max_range
         self.do_overfit = do_overfit
         self.base_seed = seed + (0 if mode == "train" else 100_000)
+        self.rng = np.random.default_rng(seed + 7)
         self.classes = classes
         self.nr_classes = classes
         # 20-class scenes use the real dataset's ignore semantics (train id 0)
@@ -286,7 +291,11 @@ class SynthKitti:
         # every scene is EXACTLY n_points: batches built at this budget carry
         # all-true point masks, so the trainer may build mask-free
         # (make_loss_fn full_mask) and sort-invert the point->vertex map
-        self.fixed_n_points = n_points
+        self.fixed_n_points = (
+            None
+            if transform is not None and transform.random_subsample_percentage > 0
+            else n_points
+        )
 
     def __len__(self):
         return self.nr_samples
@@ -295,7 +304,12 @@ class SynthKitti:
         if self.do_overfit:
             idx = 0
         gen = make_scene20 if self.classes == 20 else make_scene
-        return gen(self.n_points, seed=self.base_seed + idx, max_range=self.max_range)
+        cloud = gen(self.n_points, seed=self.base_seed + idx, max_range=self.max_range)
+        if self.transform is not None and self.mode == "train":
+            from lattice_net_tpu.data.transforms import apply_transform_cloud
+
+            cloud = apply_transform_cloud(cloud, self.transform, self.rng)
+        return cloud
 
     def __iter__(self):
         for i in range(len(self)):

@@ -64,7 +64,9 @@ def main():
     )
     sigma = args.sigma
     n_points = args.n_points
-    caps = (args.cap, args.cap // 2, args.cap // 4)
+    # Same schedule as bench.py (1<<16, 1<<15, 1<<13) so stage rows and
+    # bench deltas are apples-to-apples (round-3 verdict item).
+    caps = (args.cap, args.cap // 2, args.cap // 8)
     iters = args.iters
 
     positions = jnp.asarray(synthetic_kitti_scan(n_points))

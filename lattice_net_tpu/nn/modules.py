@@ -572,6 +572,23 @@ class SliceFastModule(nn.Module):
             cur = out
         lv_b = GnRelu1x1(cur, self.bottleneck_size, use_bias=False)(lv_b, mask)
 
+        # Param creation order is load-bearing: flax derives per-param init
+        # RNGs from creation order, so keep the original gamma/beta/delta ->
+        # classify order (the round-3 reorder silently re-rolled every head
+        # init draw and invalidated the calibrated sharded-agreement bound).
+        vdim = self.bottleneck_size + 1
+        gamma = self.param("gamma", nn.initializers.ones, (vdim,))
+        beta = self.param("beta", nn.initializers.zeros, (vdim,))
+
+        # delta-weight head: kaiming fan-in for tanh, scaled 0.1; zero bias
+        def dw_init(key, shape, dtype=jnp.float32):
+            gain = 5.0 / 3.0  # torch tanh gain
+            bound = math.sqrt(3.0) * gain / math.sqrt(shape[0])
+            return jax.random.uniform(key, shape, dtype, -bound, bound) * 0.1
+
+        dw_kernel = self.param("delta_kernel", dw_init, (vdim, 1))
+        dw_bias = self.param("delta_bias", nn.initializers.zeros, (1,))
+
         cls_gain = leaky_relu_gain(1.0)  # reference: leaky_relu_init(linear, 1.0)
         w_init = kaiming_uniform_rows(self.in_channels, cls_gain)
         cls_w = self.param("classify_kernel", w_init, (self.nr_classes, self.in_channels))
@@ -601,30 +618,25 @@ class SliceFastModule(nn.Module):
         # (for the fused classify, = the gather inside ops.slice_classify).
         # Row gathers are latency-bound, so halving the row count halves the
         # cost; width is nearly free.
+        # When preclassifying, `wide` holds LOGITS: a bf16 gather there costs
+        # a bf16 ULP at logit scale (~8e-3) — past the sharded-agreement
+        # bound — so gather in f32 (the win came from the 104->28 channel
+        # shrink, not the dtype; row gathers are latency-bound anyway).
         both = jnp.concatenate([lv_b, wide], axis=1)  # (cap, bottleneck + C')
-        g_all = lops.gather_rows_clustered(lops._maybe_bf16(both), splat_idx)
+        if not preclassify:
+            both = lops._maybe_bf16(both)
+        g_all = lops.gather_rows_clustered(both, splat_idx)
         g_b = g_all[..., : self.bottleneck_size].astype(jnp.float32)
         g_v = g_all[..., self.bottleneck_size :]
 
         capacity = lv.shape[0]
         valid = splat_idx < capacity
         w_val = jnp.where(valid, splat_weights, 0.0)  # (n, d1)
-        vdim = self.bottleneck_size + 1
         g = jnp.concatenate([g_b * w_val[..., None], w_val[..., None]], axis=-1)
 
-        gamma = self.param("gamma", nn.initializers.ones, (vdim,))
-        beta = self.param("beta", nn.initializers.zeros, (vdim,))
         max_vals = jnp.max(g, axis=1, keepdims=True)
         g = g - (gamma * max_vals + beta)
 
-        # delta-weight head: kaiming fan-in for tanh, scaled 0.1; zero bias
-        def dw_init(key, shape, dtype=jnp.float32):
-            gain = 5.0 / 3.0  # torch tanh gain
-            bound = math.sqrt(3.0) * gain / math.sqrt(shape[0])
-            return jax.random.uniform(key, shape, dtype, -bound, bound) * 0.1
-
-        dw_kernel = self.param("delta_kernel", dw_init, (vdim, 1))
-        dw_bias = self.param("delta_bias", nn.initializers.zeros, (1,))
         delta = (g @ dw_kernel + dw_bias).reshape(n, d1)
         if self.experiment == "slice_no_deform":
             delta = jnp.zeros_like(delta)

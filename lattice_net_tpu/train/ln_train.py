@@ -26,6 +26,15 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
     from lattice_net_tpu.data.toy import ToyDataset
     from lattice_net_tpu.data.transforms import TransformParams
 
+    def transformer(loader_cfg, up="y"):
+        """Augmentation params from a loader section's ``transformer`` block;
+        None when absent.  ``up="z"`` remaps the reference's y-up recipe keys
+        onto this repo's z-up loaders (raw velodyne / PLY / procedural
+        frames; the reference's external loader rotates clouds y-up first)."""
+        if "transformer" not in loader_cfg:
+            return None
+        return TransformParams.from_config(loader_cfg["transformer"]).for_up_axis(up)
+
     if dataset_name == "toy":
         l = cfg.get("loader_toy", {})
         return ToyDataset(
@@ -45,6 +54,7 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
             max_range=float(l.get("max_range", 50.0)),
             do_overfit=bool(l.get("do_overfit", False)),
             classes=int(l.get("classes", 6)),
+            transform=transformer(l, up="z"),
         )
     if dataset_name == "shapenet":
         from lattice_net_tpu.data.shapenet import ShapeNetPartSeg
@@ -57,7 +67,7 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
             shuffle=bool(l.get("shuffle", True)),
             do_overfit=bool(l.get("do_overfit", False)),
             normalize=bool(l.get("normalize", False)),
-            transform=TransformParams.from_config(l.get("transformer", {})),
+            transform=transformer(l),
         )
     if dataset_name == "semantickitti":
         from lattice_net_tpu.data.semantic_kitti import SemanticKitti
@@ -70,6 +80,7 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
             max_nr_points_per_cloud=int(l.get("max_nr_points_per_cloud", 400000)),
             shuffle=bool(l.get("shuffle", True)),
             do_overfit=bool(l.get("do_overfit", False)),
+            transform=transformer(l, up="z"),
         )
     if dataset_name == "scannet":
         from lattice_net_tpu.data.scannet import ScanNet
@@ -81,6 +92,7 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
             max_nr_points_per_cloud=int(l.get("max_nr_points_per_cloud", 400000)),
             shuffle=bool(l.get("shuffle", True)),
             do_overfit=bool(l.get("do_overfit", False)),
+            transform=transformer(l, up="z"),
         )
     raise ValueError(f"unknown dataset {dataset_name}")
 

@@ -216,4 +216,6 @@ def test_head_preclassify_matches_gather_order(monkeypatch, dropout):
         jax.tree_util.tree_leaves(outs["1"][2]),
         jax.tree_util.tree_leaves(outs["0"][2]),
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        # the two orders are algebraically equal but sum in different f32
+        # orders; isolated grad elements with cancellation land at ~1e-3 rel
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
