@@ -127,6 +127,12 @@ def main():
     # the measured vertex count matches the reference's KITTI margin (100k
     # capacity for ~10-30k vertices, lnn_train_semantic_kitti.cfg:62-71).
     caps = (1 << 16, 1 << 15, 1 << 13)
+    # LNT_BENCH_CAPS="46080,17408,5632": override the capacity schedule (A/B
+    # occupancy-derived 256-divisible caps vs the pow2 defaults — conv/GN/
+    # table costs scale with capacity, so tighter caps trade headroom for ms)
+    if os.environ.get("LNT_BENCH_CAPS"):
+        caps = tuple(int(x) for x in os.environ["LNT_BENCH_CAPS"].split(","))
+        assert len(caps) == mp.nr_downsamples + 1
     canonical = os.environ.get("LNT_CANONICAL", "0") == "1"
 
     scene = synthetic_kitti_scan(n_points)

@@ -1002,6 +1002,136 @@ def default_capacity_schedule(capacity: int, nr_levels: int, minimum: int = 256)
     return tuple(max(minimum, capacity >> lvl) for lvl in range(nr_levels + 1))
 
 
+def capacity_schedule_from_occupancy(
+    occupancy: Sequence[int],
+    headroom: float = 2.0,
+    minimum: int = 256,
+    snap_pow2: bool = True,
+) -> tuple:
+    """Per-level capacities derived from MEASURED occupancy, not guesses.
+
+    Compute in the static-shape design scales with *capacity*, so capacities
+    far above occupancy are pure padding FLOPs (the ScanNet config's 5M hash
+    slots exist only because the reference's open-addressing table degrades
+    past ~32% load — the sorted dense table here has no load-factor cost,
+    and actual occupancy at that workload is 72k).  Given the occupancy of a
+    representative (e.g. previous) cloud, this returns per-level capacities
+    with ``headroom`` slack, snapped up to powers of two so consecutive
+    clouds of similar density reuse the same compiled program (the "bucket").
+
+    Measured per-level occupancy ratios are ~2.7-4x, not the 2x of
+    :func:`default_capacity_schedule` — deriving each level from its own
+    occupancy instead of halving removes that second padding source.
+    """
+    caps = []
+    for occ in occupancy:
+        want = max(minimum, int(np.ceil(max(int(occ), 1) * headroom)))
+        if snap_pow2:
+            want = 1 << (want - 1).bit_length()
+        else:
+            want = -(-want // 256) * 256  # 256-divisible for lane tiling
+        caps.append(max(minimum, want))
+    return tuple(caps)
+
+
+def escalate_capacities(
+    capacities: Sequence[int],
+    overflow: Sequence[int],
+    occupancy: Sequence[int] | None = None,
+    headroom: float = 1.5,
+) -> tuple:
+    """Grow every level that overflowed (host-side retry step).
+
+    The adaptive-bucket loop is: build+forward at the current bucket, read
+    the (always-computed) per-level overflow counters, and — on the rare
+    scan that outgrows its bucket — escalate and redo that scan.  The
+    builders count the unique keys that did NOT fit, so
+    ``occupancy + overflow`` is the exact vertex count and one escalation
+    always suffices when ``occupancy`` is passed; without it, double.  The
+    reference's failure mode for the same event is silently dropping the
+    overflowing vertices (``kernels/LatticeGPU.cuh:825-832``)."""
+    if occupancy is not None:
+        return tuple(
+            c if int(o) == 0
+            else capacity_schedule_from_occupancy([int(n) + int(o)], headroom)[0]
+            for c, o, n in zip(capacities, overflow, occupancy)
+        )
+    return tuple(
+        c * 2 if int(o) > 0 else c for c, o in zip(capacities, overflow)
+    )
+
+
+def compact_hierarchy(h: LatticeHierarchy, new_capacities: Sequence[int]) -> LatticeHierarchy:
+    """Re-pack a hierarchy into smaller per-level capacities (pure slicing).
+
+    The sort-dedup builders store all real vertices DENSELY at the front of
+    each table (ids assigned by cumsum over sorted unique runs), so shrinking
+    capacity is: slice every per-vertex array to the new row count and clamp
+    the invalid-index marker from ``old_capacity`` down to ``new_capacity``
+    (valid ids are < nr_verts <= new_capacity, so ``min`` is exact).  Use
+    when one safe-capacity build must feed a smaller compiled forward
+    without paying a rebuild.  Levels whose occupancy exceeds the new
+    capacity surface in ``nr_overflow`` (callers assert zero, same contract
+    as the builders).
+    """
+    new_capacities = tuple(int(c) for c in new_capacities)
+    if len(new_capacities) != len(h.structures):
+        raise ValueError(
+            f"need {len(h.structures)} capacities, got {len(new_capacities)}"
+        )
+    for st, nc in zip(h.structures, new_capacities):
+        if nc > st.capacity:
+            raise ValueError(
+                f"compact_hierarchy only shrinks: level {st.lvl} "
+                f"{st.capacity} -> {nc}"
+            )
+
+    def clamp(idx, new_cap):
+        return jnp.minimum(idx, jnp.int32(new_cap))
+
+    structures = []
+    for st, nc in zip(h.structures, new_capacities):
+        lost = jnp.maximum(st.nr_verts - nc, 0)
+        structures.append(
+            st.replace(
+                keys=st.keys[:nc],
+                keys2=None if st.keys2 is None else st.keys2[:nc],
+                nr_verts=jnp.minimum(st.nr_verts, nc),
+                nr_overflow=st.nr_overflow + lost,
+                capacity=nc,
+            )
+        )
+    neighbors_same = tuple(
+        clamp(t[:nc], nc) for t, nc in zip(h.neighbors_same, new_capacities)
+    )
+    # coarsen[i]: rows = level i+1, values = level i; finefy[i] is the mirror
+    neighbors_coarsen = tuple(
+        clamp(t[: new_capacities[i + 1]], new_capacities[i])
+        for i, t in enumerate(h.neighbors_coarsen)
+    )
+    neighbors_finefy = tuple(
+        clamp(t[: new_capacities[i]], new_capacities[i + 1])
+        for i, t in enumerate(h.neighbors_finefy)
+    )
+    edges = h.edges
+    if edges is not None:
+        nc0 = new_capacities[0]
+        edges = edges.replace(
+            vertex=clamp(edges.vertex, nc0),
+            ends=edges.ends[:nc0],
+        )
+    return LatticeHierarchy(
+        structures=tuple(structures),
+        neighbors_same=neighbors_same,
+        neighbors_coarsen=neighbors_coarsen,
+        neighbors_finefy=neighbors_finefy,
+        splat_idx=None if h.splat_idx is None else clamp(h.splat_idx, new_capacities[0]),
+        splat_weights=h.splat_weights,
+        point_mask=h.point_mask,
+        edges=edges,
+    )
+
+
 def _canonical_fast_build(
     positions: jnp.ndarray,
     sigma: jnp.ndarray,

@@ -12,11 +12,16 @@ SURVEY.md §3.5.
 
 Pipeline structure (what a real sensor node does):
 
-  * only the fields the forward consumes ship to the device (positions,
-    values, point_mask — NOT the labels; they stay on host for scoring);
-  * transfers and compute are ASYNC and depth-1 pipelined: scan k+1's
-    host-prep + H2D overlaps scan k's forward, so steady-state throughput is
-    max(transfer, compute), not their sum;
+  * only the fields the forward consumes ship to the device — and in a
+    compact WIRE FORMAT (``--wire``): the padding mask never ships (points
+    pad at the end, so one scalar count reconstructs it on-device), and
+    positions/values ship as f16 or scale-quantized i16 (one fused array =
+    one transfer), decoded inside the jitted program.  f32 xyz+values+mask
+    is 2.23 MB/scan at the KITTI budget; i16 is 1.05 MB.
+  * a dedicated TRANSFER thread owns H2D: it forces each copy to completion
+    (``block_until_ready``) so scan k+1's transfer genuinely overlaps scan
+    k's forward even when the runtime defers copies until first use —
+    steady-state throughput is max(transfer, compute), not their sum;
   * three numbers come out: compute-only latency (device-resident inputs,
     chained — comparable to bench.py), end-to-end latency
     (arrival -> prediction ready, including H2D), and deadline misses
@@ -28,16 +33,24 @@ PCIe/ICI link, so end-to-end latency here is transfer-dominated; the
 compute-only row is the hardware-meaningful one.  Both are printed.
 
 Usage: ``python -m lattice_net_tpu.train.ln_eval_stream <config.cfg>
-[--rate-hz 10] [--nr-scans 100]``
+[--rate-hz 10] [--nr-scans 100] [--wire {f32,f16,i16}]``
 """
 
 from __future__ import annotations
 
 import argparse
 import collections
+import queue as queue_mod
+import threading
 import time
 
 import numpy as np
+
+# i16 wire quantization: symmetric round-to-nearest with a per-scan scale.
+# At the KITTI 60 m range the resolution is 60/32767 = 1.8 mm — two orders
+# below sigma_0 (0.6 m), so simplex assignments are unchanged for all but
+# boundary-epsilon points.
+_I16_MAX = 32767.0
 
 
 def _prep_np(cloud, mp, n_points):
@@ -53,8 +66,48 @@ def _prep_np(cloud, mp, n_points):
     return {
         "positions": np.pad(np.asarray(positions, np.float32), ((0, pad), (0, 0))),
         "values": np.pad(np.asarray(values, np.float32), ((0, pad), (0, 0))),
-        "point_mask": np.arange(n_points) < n,
+        "n_valid": np.int32(n),
     }
+
+
+def _encode(np_batch, wire: str):
+    """Pack one scan into its wire format (host side, numpy).
+
+    All formats fuse positions+values into ONE array so a scan pays one
+    transfer, and ship the valid count as a scalar instead of an (N,) mask.
+    """
+    pos, val, n = np_batch["positions"], np_batch["values"], np_batch["n_valid"]
+    fused = np.concatenate([pos, val], axis=1)
+    if wire == "f32":
+        return {"fused": fused, "n_valid": n, "scale": np.float32(1.0)}
+    if wire == "f16":
+        return {"fused": fused.astype(np.float16), "n_valid": n,
+                "scale": np.float32(1.0)}
+    if wire == "i16":
+        scale = np.float32(max(np.abs(fused).max(), 1e-6) / _I16_MAX)
+        q = np.clip(np.rint(fused / scale), -_I16_MAX, _I16_MAX).astype(np.int16)
+        return {"fused": q, "n_valid": n, "scale": scale}
+    raise ValueError(f"unknown wire format {wire!r}")
+
+
+def _make_decode_predict(predict_fn, d_pos: int, n_points: int, wire: str):
+    """One jitted program: wire decode + forward (decode is ~free on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(wire_batch):
+        fused = wire_batch["fused"].astype(jnp.float32)
+        if wire == "i16":
+            fused = fused * wire_batch["scale"]
+        mask = jnp.arange(n_points, dtype=jnp.int32) < wire_batch["n_valid"]
+        batch = {
+            "positions": fused[:, :d_pos][None],
+            "values": fused[:, d_pos:][None],
+            "point_mask": mask[None],
+        }
+        return predict_fn(batch)
+
+    return jax.jit(fn)
 
 
 def run(
@@ -63,6 +116,7 @@ def run(
     rate_hz: float = 10.0,
     nr_scans: int = 50,
     overrides=(),
+    wire: str = "f16",
 ):
     import jax
     import jax.numpy as jnp
@@ -72,23 +126,18 @@ def run(
     s = setup_predictor(config_path, checkpoint, overrides)
     loader, mp, n_points = s.loader, s.mp, s.n_points
 
-    def to_device(np_batch):
-        # async H2D; the arrays become ready in the background
-        return {k: jnp.asarray(v) for k, v in np_batch.items()}
+    first_np = _prep_np(loader.get_cloud(0), mp, n_points)
+    d_pos = first_np["positions"].shape[1]
+    predict = _make_decode_predict(s.predict_fn, d_pos, n_points, wire)
 
-    def predict(dev_batch):
-        # the full-batch dict predictor also carries target/b-dims; feed the
-        # 3 forward inputs in its expected (b=1) layout
-        batch = {
-            "positions": dev_batch["positions"][None],
-            "values": dev_batch["values"][None],
-            "point_mask": dev_batch["point_mask"][None],
-        }
-        return s.predict_fn(batch)
+    def to_device(wire_batch):
+        dev = {k: jnp.asarray(v) for k, v in wire_batch.items()}
+        jax.block_until_ready(dev)  # force the copy NOW, on this thread
+        return dev
 
     # ---- warm up the compile before the clock starts ----------------------
-    first_np = _prep_np(loader.get_cloud(0), mp, n_points)
-    b0 = to_device(first_np)
+    w0 = _encode(first_np, wire)
+    b0 = to_device(w0)
     pred0 = predict(b0)
     pred0.block_until_ready()
 
@@ -97,31 +146,53 @@ def run(
     # The feedback MUST live inside the jitted step: building it with eager
     # ops dispatches ~5 tiny programs per iteration over the axon tunnel,
     # whose first-call compiles dominated the loop (~7.4 s/iter observed).
-    def _chain_step(b, pos):
-        p = predict({**b, "positions": pos})
-        fb = (jnp.sum(p) % 2).astype(jnp.float32) * 1e-12
-        return p, pos + fb
+    def _chain_step(b, fused):
+        p = predict({**b, "fused": fused})
+        # REAL data dependency (a *0 would constant-fold and unchain the
+        # timing loop): parity of the prediction sum, numerically negligible
+        fb = (jnp.sum(p) % 2).astype(jnp.float32) * 1e-6
+        return p, (fused.astype(jnp.float32) + fb).astype(fused.dtype)
 
     chain = jax.jit(_chain_step)
-    pos = b0["positions"]
-    p, pos = chain(b0, pos)  # warm the chained program
-    jax.block_until_ready((p, pos))
+    fused = b0["fused"]
+    p, fused = chain(b0, fused)  # warm the chained program
+    jax.block_until_ready((p, fused))
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):
-        p, pos = chain(b0, pos)
+        p, fused = chain(b0, fused)
     p.block_until_ready()
     compute_ms = (time.perf_counter() - t0) / iters * 1000
 
     # ---- one-off H2D cost of a scan's inputs (the tunnel/link term) -------
     t0 = time.perf_counter()
-    b1 = to_device(first_np)
-    jax.block_until_ready(b1)
+    jax.block_until_ready(to_device(w0))
     h2d_ms = (time.perf_counter() - t0) * 1000
-    nbytes = sum(v.nbytes for v in first_np.values())
+    nbytes = sum(np.asarray(v).nbytes for v in w0.values())
 
-    # ---- the stream: arrivals on the sensor clock, depth-1 pipeline -------
+    # ---- the stream: arrivals on the sensor clock -------------------------
+    # TRANSFER THREAD: paces arrivals, encodes, and forces each H2D to
+    # completion so it overlaps the main thread's in-flight forward.
     period = 1.0 / rate_hz
+    ready: queue_mod.Queue = queue_mod.Queue(maxsize=2)  # depth-2 pipeline
+
+    def producer():
+        scans = 0
+        t_start = time.perf_counter()
+        while scans < nr_scans:
+            for cloud in loader:
+                if scans >= nr_scans:
+                    break
+                wb = _encode(_prep_np(cloud, mp, n_points), wire)
+                t_due = t_start + scans * period
+                now = time.perf_counter()
+                if now < t_due:
+                    time.sleep(t_due - now)
+                t_arr = time.perf_counter()
+                ready.put((t_arr, to_device(wb)))  # forced H2D on this thread
+                scans += 1
+        ready.put(None)
+
     latencies, misses = [], 0
     inflight = collections.deque()  # (t_arrival, prediction)
 
@@ -134,39 +205,39 @@ def run(
         if dt > period:
             misses += 1
 
-    scans = 0
+    th = threading.Thread(target=producer, daemon=True)
     t_start = time.perf_counter()
-    while scans < nr_scans:
-        for cloud in loader:
-            if scans >= nr_scans:
-                break
-            np_batch = _prep_np(cloud, mp, n_points)  # host work, off-deadline
-            t_due = t_start + scans * period
-            now = time.perf_counter()
-            if now < t_due:
-                time.sleep(t_due - now)
-            t_arr = time.perf_counter()
-            out = predict(to_device(np_batch))  # async H2D + forward
-            inflight.append((t_arr, out))
-            if len(inflight) > 1:  # block one behind: overlap next transfer
-                drain_one()
-            scans += 1
+    th.start()
+    scans = 0
+    while True:
+        item = ready.get()
+        if item is None:
+            break
+        t_arr, dev = item
+        inflight.append((t_arr, predict(dev)))
+        if len(inflight) > 1:  # block one behind: overlap next transfer
+            drain_one()
+        scans += 1
     while inflight:
         drain_one()
+    th.join()
     wall_s = time.perf_counter() - t_start
 
     lat = np.asarray(latencies) * 1000
     print(
-        f"compute-only latency (chained, device-resident): {compute_ms:.2f} ms; "
-        f"H2D per scan: {h2d_ms:.2f} ms for {nbytes / 1e6:.2f} MB "
-        f"({nbytes / 1e3 / max(h2d_ms, 1e-9):.1f} MB/s)"
+        f"wire={wire}: {nbytes / 1e6:.2f} MB/scan; compute-only latency "
+        f"(chained, device-resident): {compute_ms:.2f} ms; H2D per scan: "
+        f"{h2d_ms:.2f} ms ({nbytes / 1e3 / max(h2d_ms, 1e-9):.1f} MB/s)"
     )
     print(
         f"streamed {scans} scans @ {rate_hz} Hz: "
         f"end-to-end latency p50 {np.percentile(lat, 50):.2f} ms  "
         f"p95 {np.percentile(lat, 95):.2f} ms  "
         f"max {lat.max():.2f} ms  deadline misses {misses}/{scans}  "
-        f"sustained {scans / wall_s:.2f} scans/s"
+        f"sustained {scans / wall_s:.2f} scans/s "
+        f"(pipeline floor max(H2D, compute) = "
+        f"{max(h2d_ms, compute_ms):.1f} ms -> "
+        f"{1000.0 / max(h2d_ms, compute_ms):.2f} scans/s)"
     )
     return lat
 
@@ -178,12 +249,20 @@ def main():
     ap.add_argument("--rate-hz", type=float, default=10.0)
     ap.add_argument("--nr-scans", type=int, default=50)
     ap.add_argument(
+        "--wire",
+        choices=("f32", "f16", "i16"),
+        default="f16",
+        help="device wire format for scan payloads (f16 halves the f32 "
+        "payload; i16 scale-quantizes to 1.8 mm at 60 m range)",
+    )
+    ap.add_argument(
         "overrides",
         nargs="*",
         help="config overrides of the form section.key=value",
     )
     args = ap.parse_args()
-    run(args.config, args.checkpoint, args.rate_hz, args.nr_scans, args.overrides)
+    run(args.config, args.checkpoint, args.rate_hz, args.nr_scans,
+        args.overrides, wire=args.wire)
 
 
 if __name__ == "__main__":

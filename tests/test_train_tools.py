@@ -298,3 +298,42 @@ def test_eval_stream_pipeline(capsys):
     assert "compute-only latency" in out
     assert "end-to-end latency" in out
     assert "H2D per scan" in out
+
+
+def test_stream_wire_formats_roundtrip():
+    """Wire encode (host) -> decode (device program) reconstructs the f32
+    batch: exact for f32, half-ulp for f16, 1-quantum for i16; the padding
+    mask is rebuilt from the scalar count (never shipped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lattice_net_tpu.train import ln_eval_stream as es
+
+    rng = np.random.default_rng(0)
+    n_points, d = 256, 3
+    n_valid = 200
+    pos = np.zeros((n_points, d), np.float32)
+    pos[:n_valid] = rng.uniform(-60, 60, (n_valid, d))
+    val = np.zeros((n_points, 1), np.float32)
+    val[:n_valid] = rng.uniform(0, 1, (n_valid, 1))
+    npb = {"positions": pos, "values": val, "n_valid": np.int32(n_valid)}
+
+    # tol = (position tolerance, value tolerance): f16 ulp scales with the
+    # magnitude (~60 for xyz, ~1 for intensity); the i16 quantum is global
+    # (scale = max_abs/32767 ~ 1.9e-3 here) so both columns share it
+    for wire, (ptol, vtol) in (
+        ("f32", (0.0, 0.0)),
+        ("f16", (0.05, 1e-3)),
+        ("i16", (61.0 / 32767, 61.0 / 32767)),
+    ):
+        fn = es._make_decode_predict(lambda batch: batch, d, n_points, wire)
+        wb = es._encode(npb, wire)
+        if wire == "f32":
+            assert wb["fused"].nbytes == pos.nbytes + val.nbytes
+        else:
+            assert wb["fused"].nbytes == (pos.nbytes + val.nbytes) // 2
+        got = jax.tree.map(np.asarray, fn({k: jnp.asarray(v) for k, v in wb.items()}))
+        np.testing.assert_allclose(got["positions"][0], pos, atol=max(ptol, 1e-7))
+        np.testing.assert_allclose(got["values"][0], val, atol=max(vtol, 1e-7))
+        mask = got["point_mask"][0]
+        assert mask[:n_valid].all() and not mask[n_valid:].any()
