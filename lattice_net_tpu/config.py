@@ -234,13 +234,29 @@ class EvalParams:
 class LatticeParams:
     hash_table_capacity: int = 65536
     sigmas: tuple = (0.05, 0.05, 0.05)
+    # "fixed": per-level capacities halve from hash_table_capacity (the
+    # reference-shaped schedule).  "auto": measure occupancy on a few train
+    # clouds and derive pow2-bucket capacities with capacity_headroom slack
+    # (structure.capacity_schedule_from_occupancy) — compute scales with
+    # capacity in the static-shape design, so data-derived capacities remove
+    # the padding the reference's open-addressing headroom would impose
+    # (104x at the ScanNet config, docs/runs/scannet_probe_bucketed.log).
+    # hash_table_capacity stays the SCOUT size and the hard upper bound.
+    capacity_mode: str = "fixed"
+    capacity_headroom: float = 2.0
 
     @classmethod
     def from_config(cls, cfg: dict) -> "LatticeParams":
         lg = cfg.get("lattice_gpu", {})
         sigmas = tuple(parse_sigmas(lg)) or cls.sigmas
+        mode = str(lg.get("capacity_mode", "fixed"))
+        if mode not in ("fixed", "auto"):
+            raise ValueError(f"lattice_gpu.capacity_mode must be fixed|auto, got {mode!r}")
         return cls(
-            hash_table_capacity=int(lg.get("hash_table_capacity", 65536)), sigmas=sigmas
+            hash_table_capacity=int(lg.get("hash_table_capacity", 65536)),
+            sigmas=sigmas,
+            capacity_mode=mode,
+            capacity_headroom=float(lg.get("capacity_headroom", 2.0)),
         )
 
 
