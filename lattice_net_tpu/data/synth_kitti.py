@@ -19,6 +19,8 @@ the latency number.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from lattice_net_tpu.data.toy import ToyCloud
@@ -305,15 +307,38 @@ class SynthKitti:
     def __len__(self):
         return self.nr_samples
 
+    def _disk_cache_path(self, idx: int):
+        root = os.environ.get("LNT_SCENE_CACHE", "")
+        if not root:
+            return None
+        return os.path.join(
+            root,
+            f"synthkitti_c{self.classes}_n{self.n_points}_"
+            f"r{self.max_range:g}_s{self.base_seed + idx}.npz",
+        )
+
     def get_cloud(self, idx: int) -> ToyCloud:
         if self.do_overfit:
             idx = 0
         cloud = self._cache.get(idx)
         if cloud is None:
-            gen = make_scene20 if self.classes == 20 else make_scene
-            cloud = gen(
-                self.n_points, seed=self.base_seed + idx, max_range=self.max_range
-            )
+            # cross-process disk cache (LNT_SCENE_CACHE=dir): scene synthesis
+            # is ~1.5 s/scene, two orders above the train step, so a CPU
+            # pre-warm pass can fill the cache while the chip is busy
+            path = self._disk_cache_path(idx)
+            if path is not None and os.path.exists(path):
+                with np.load(path) as z:
+                    cloud = ToyCloud(z["V"], z["C"], z["I"], z["L_gt"])
+            else:
+                gen = make_scene20 if self.classes == 20 else make_scene
+                cloud = gen(
+                    self.n_points, seed=self.base_seed + idx, max_range=self.max_range
+                )
+                if path is not None:
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    tmp = f"{path}.tmp{os.getpid()}.npz"
+                    np.savez(tmp, V=cloud.V, C=cloud.C, I=cloud.I, L_gt=cloud.L_gt)
+                    os.replace(tmp, path)
             self._cache[idx] = cloud
         if self.transform is not None and self.mode == "train":
             from lattice_net_tpu.data.transforms import apply_transform_cloud

@@ -47,9 +47,14 @@ def create_loader(dataset_name: str, cfg: dict, mode: str):
         from lattice_net_tpu.data.synth_kitti import SynthKitti
 
         l = cfg.get("loader_synth_kitti", {})
+        nr_samples = int(l.get("nr_samples", 40))
+        if mode != "train":
+            # held-out split may be sized independently (a 400-scene train
+            # set does not need a 400-scan eval pass every epoch)
+            nr_samples = int(l.get("nr_samples_test", nr_samples))
         return SynthKitti(
             mode=mode,
-            nr_samples=int(l.get("nr_samples", 40)),
+            nr_samples=nr_samples,
             n_points=int(l.get("n_points", 131072)),
             max_range=float(l.get("max_range", 50.0)),
             do_overfit=bool(l.get("do_overfit", False)),
