@@ -427,11 +427,17 @@ def run(
         }
 
     b0 = batch_of([prepare_cloud(loader_train.get_cloud(0), mp)] * batch_size)
-    h0 = build_hierarchy(
-        b0["positions"][0], sigma, mp.nr_downsamples, caps, point_mask=b0["point_mask"][0]
-    )
+    # jit the one-off setup build + init: run eagerly they dispatch hundreds
+    # of small ops over the axon tunnel (~1.5 ms+ each) and take tens of
+    # minutes; jitted they are two compiled programs (cached across runs
+    # when JAX_COMPILATION_CACHE_DIR is set)
+    h0 = jax.jit(
+        lambda p, m: build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_mask=m)
+    )(b0["positions"][0], b0["point_mask"][0])
     sanity_check(int(h0.structures[0].nr_verts), int(b0["point_mask"][0].sum()), caps[0])
-    params = model.init(jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0])
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0]
+    )
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model parameters: {n_params:,}")
 
@@ -583,6 +589,14 @@ def main():
         help="config overrides of the form section.key=value (e.g. train.lr=0.003)",
     )
     args = ap.parse_args()
+    # persistent compile cache (same as bench.py): first compiles over the
+    # axon tunnel are 1-5 min/program — make every later run warm
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
     run(
         args.config, args.max_epochs, args.n_points, args.eval_every,
         args.resume, args.dp, args.overrides, sp=args.sp, sp_approx=args.sp_approx,
