@@ -15,6 +15,7 @@ XLA's static shapes.  Outputs are named by each scan's stable identity
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 
 import numpy as np
@@ -105,10 +106,14 @@ def setup_predictor(
     model = LNN(mp)
 
     b0 = make_batch([prepare_cloud(first, mp)], mp, n_points)
-    h0 = build_hierarchy(
-        b0["positions"][0], sigma, mp.nr_downsamples, caps, point_mask=b0["point_mask"][0]
+    # jitted one-off setup (eager it crawls over the axon tunnel — see
+    # ln_train.py setup note)
+    h0 = jax.jit(
+        lambda p, m: build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_mask=m)
+    )(b0["positions"][0], b0["point_mask"][0])
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0]
     )
-    params = model.init(jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0])
     if checkpoint:
         from lattice_net_tpu.train.checkpoint import load_params
 
@@ -265,6 +270,12 @@ def main():
         help="config overrides of the form section.key=value (e.g. eval.checkpoint_path=...)",
     )
     args = ap.parse_args()
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
     run(
         args.config, args.checkpoint, args.write_predictions, args.overrides,
         args.n_points, sp=args.sp, sp_approx=args.sp_approx,
