@@ -106,14 +106,18 @@ def setup_predictor(
     model = LNN(mp)
 
     b0 = make_batch([prepare_cloud(first, mp)], mp, n_points)
-    # jitted one-off setup (eager it crawls over the axon tunnel — see
-    # ln_train.py setup note)
-    h0 = jax.jit(
-        lambda p, m: build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_mask=m)
-    )(b0["positions"][0], b0["point_mask"][0])
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0]
-    )
+    # one-off setup build+init, jitted ON THE HOST CPU backend: eager it
+    # crawls over the axon tunnel; jitted on the TPU the setup program
+    # poisons the next large program (see ln_train.py setup note)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        h0 = jax.jit(
+            lambda p, m: build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_mask=m)
+        )(np.asarray(b0["positions"][0]), np.asarray(b0["point_mask"][0]))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), h0, np.asarray(b0["positions"][0]),
+            np.asarray(b0["values"][0]),
+        )
+    params = jax.device_get(params)
     if checkpoint:
         from lattice_net_tpu.train.checkpoint import load_params
 

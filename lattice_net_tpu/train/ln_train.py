@@ -297,7 +297,13 @@ def run(
         print(f"class weights: {np.round(np.asarray(class_weights), 3).tolist()}")
     sigma = lp.sigmas[0] if len(set(lp.sigmas)) == 1 else np.asarray(lp.sigmas)
     caps = default_capacity_schedule(lp.hash_table_capacity, mp.nr_downsamples)
-    if lp.capacity_mode == "auto":
+    if os.environ.get("LNT_TRAIN_CAPS"):
+        # explicit per-level capacity override, same format as LNT_BENCH_CAPS
+        # (e.g. "65536,32768,8192"); params are capacity-independent so
+        # checkpoints resume across schedules
+        caps = tuple(int(x) for x in os.environ["LNT_TRAIN_CAPS"].split(","))
+        assert len(caps) == mp.nr_downsamples + 1, (caps, mp.nr_downsamples)
+    elif lp.capacity_mode == "auto":
         # size capacities from DATA: scout-build a few train clouds at the
         # configured (upper-bound) schedule, take the max occupancy per
         # level, and bucket it with headroom — per-level ratios are measured
@@ -427,17 +433,26 @@ def run(
         }
 
     b0 = batch_of([prepare_cloud(loader_train.get_cloud(0), mp)] * batch_size)
-    # jit the one-off setup build + init: run eagerly they dispatch hundreds
-    # of small ops over the axon tunnel (~1.5 ms+ each) and take tens of
-    # minutes; jitted they are two compiled programs (cached across runs
-    # when JAX_COMPILATION_CACHE_DIR is set)
-    h0 = jax.jit(
-        lambda p, m: build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_mask=m)
-    )(b0["positions"][0], b0["point_mask"][0])
-    sanity_check(int(h0.structures[0].nr_verts), int(b0["point_mask"][0].sum()), caps[0])
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), h0, b0["positions"][0], b0["values"][0]
-    )
+    # One-off setup build+init runs jitted ON THE HOST CPU BACKEND.  Eager
+    # it crawls over the axon tunnel (~30 min of per-op dispatches); jitted
+    # on the TPU (tried in a6a698c) the setup program itself executes, but
+    # the NEXT large program (the first train step) then dies with
+    # INVALID_ARGUMENT: TPU backend error — reproduced 4/4 across
+    # resume/scratch and fresh/warm compile caches, while bench.py's train
+    # step (no setup program) runs clean.  On CPU the setup compiles and
+    # runs in ~1-2 min, the TPU never sees it, and PRNG draws are
+    # backend-deterministic so params are bit-identical.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        h0 = jax.jit(
+            lambda p, m: build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_mask=m)
+        )(np.asarray(b0["positions"][0]), np.asarray(b0["point_mask"][0]))
+        sanity_check(int(h0.structures[0].nr_verts), int(np.asarray(b0["point_mask"][0]).sum()), caps[0])
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), h0, np.asarray(b0["positions"][0]),
+            np.asarray(b0["values"][0]),
+        )
+    # pull to host numpy so the first TPU program sees plain host inputs
+    params = jax.device_get(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model parameters: {n_params:,}")
 
@@ -593,10 +608,9 @@ def main():
     # axon tunnel are 1-5 min/program — make every later run warm
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-    )
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    if cache_dir:  # set empty to disable (A/B'ing cache-related failures)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     run(
         args.config, args.max_epochs, args.n_points, args.eval_every,
         args.resume, args.dp, args.overrides, sp=args.sp, sp_approx=args.sp_approx,
