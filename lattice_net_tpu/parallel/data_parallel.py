@@ -57,12 +57,15 @@ def make_batch(
     n_points: int,
     rng: np.random.Generator | None = None,
     canonical=None,
+    device: bool = True,
 ):
     """Pad a list of (positions, values, target) triples to a static batch.
 
     Returns dict of stacked arrays: positions (B,N,d), values (B,N,C),
     target (B,N) int32, point_mask (B,N) bool.  The padding mask threads
     through hierarchy build (padded points create no vertices) and the loss.
+    ``device=False`` returns host numpy (required when batching in a
+    background thread — see the comment at the return).
 
     Clouds larger than ``n_points`` are randomly subsampled; the module-level
     generator advances across calls so training sees a different subset each
@@ -93,12 +96,20 @@ def make_batch(
         vs.append(np.pad(values, ((0, pad), (0, 0))))
         ts.append(np.pad(target, (0, pad)))
         ms.append(np.arange(n_points) < n)
-    return {
-        "positions": jnp.asarray(np.stack(ps), jnp.float32),
-        "values": jnp.asarray(np.stack(vs), jnp.float32),
-        "target": jnp.asarray(np.stack(ts), jnp.int32),
-        "point_mask": jnp.asarray(np.stack(ms)),
+    out = {
+        "positions": np.stack(ps).astype(np.float32),
+        "values": np.stack(vs).astype(np.float32),
+        "target": np.stack(ts).astype(np.int32),
+        "point_mask": np.stack(ms),
     }
+    if not device:
+        # host-only batch: callers that build batches in a BACKGROUND THREAD
+        # (the trainer's prefetch) must not touch the device there — on the
+        # axon runtime a non-main-thread H2D poisons the tunnel session and
+        # every later RPC (compile or execute) dies with INVALID_ARGUMENT.
+        # The jitted step transfers host numpy on the main thread instead.
+        return out
+    return {k: jnp.asarray(v) for k, v in out.items()}
 
 
 def make_loss_fn(

@@ -402,8 +402,14 @@ def run(
     canon = os.environ.get("LNT_CANONICAL_TRAIN", "0") == "1"
 
     def batch_of(clouds):
-        b = make_batch(clouds, mp, n_points, canonical=sigma if canon else None)
-        return shard_batch(b, mesh) if mesh is not None else b
+        # host numpy only: batch_of runs in the prefetch THREAD, and a
+        # non-main-thread device transfer poisons the axon tunnel session
+        # (every later compile/execute RPC returns INVALID_ARGUMENT).  The
+        # main loop does any sharded placement; the jitted step transfers
+        # plain numpy itself.
+        return make_batch(
+            clouds, mp, n_points, canonical=sigma if canon else None, device=False
+        )
 
     def batch_of_sp(clouds):
         # stripe each cloud over the sp axis with a shared static per-shard
@@ -508,6 +514,41 @@ def run(
     )
     eval_step = jax.jit(lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0), False))
 
+    if os.environ.get("LNT_ONESTEP"):
+        # debug probe: ONE train step inside the real trainer context, with
+        # loop components added one at a time (comma list: prefetch, mask,
+        # split, steps=N) — bisects axon-runtime failures between the
+        # trainer machinery and the setup/state/step program itself
+        use = set(os.environ["LNT_ONESTEP"].split(","))
+        n_steps = 1
+        for tok in use:
+            if tok.startswith("steps="):
+                n_steps = int(tok.split("=")[1])
+        gen = batched_clouds(
+            loader_train, mp, batch_size, n_points, drop_last=False, sigma=sigma
+        )
+        rng0 = jax.random.PRNGKey(1)
+        if "prefetch" in use:
+            it = prefetch_batches(gen, lambda x: (batch_of(x[0]), x[1]))
+        else:
+            it = ((batch_of(c), r) for c, r in gen)
+        for i, (batch, real) in enumerate(it):
+            if i >= n_steps:
+                break
+            if "mask" in use:
+                dummy = batch["target"][:, 0] == -12345
+                batch = dict(batch, point_mask=batch["point_mask"] & ~dummy[:, None])
+            if "split" in use:
+                rng0, step_rng = jax.random.split(rng0)
+            else:
+                step_rng = jax.random.PRNGKey(2 + i)
+            state, metrics = train_step(state, batch, step_rng)
+            jax.block_until_ready(metrics)
+            print(f"ONESTEP[{sorted(use)}] step {i} ok, loss",
+                  float(metrics["loss"]), flush=True)
+        print("ONESTEP done", flush=True)
+        return state
+
     ckpt_dir = Path(tp.checkpoint_path or "checkpoints")
     cbs = [StateCallback(nr_classes, ignore_index), TimingCallback()]
     if tp.save_checkpoint:
@@ -542,6 +583,9 @@ def run(
             for batch, real in prefetch_batches(gen, lambda it: (make_b(it[0]), it[1])):
                 if "target" in batch:  # sp batches mask dummies host-side
                     batch = mask_dummy(batch, real)
+                    if mesh is not None:
+                        # device placement on the MAIN thread (see batch_of)
+                        batch = shard_batch(batch, mesh)
                 if phase.grad:
                     rng, step_rng = jax.random.split(rng)
                     state, metrics = train_step(state, batch, step_rng)
