@@ -589,6 +589,12 @@ def run(
                 if phase.grad:
                     rng, step_rng = jax.random.split(rng)
                     state, metrics = train_step(state, batch, step_rng)
+                    # block BEFORE any scalar pull: on the axon runtime a
+                    # D2H against a still-in-flight execution fails with
+                    # INVALID_ARGUMENT instead of blocking (reproduced 2/2;
+                    # the LNT_ONESTEP probe differs from this loop only by
+                    # its explicit block and passes 2/2)
+                    metrics = jax.block_until_ready(metrics)
                     # per-sample density heuristics (reference ln_train.py:57-81);
                     # both metrics come back with the loss (no extra device
                     # sync) and are diluted by the same B/real dummy-slot
@@ -607,6 +613,7 @@ def run(
                 else:
                     # replicated params feed the plain jitted eval directly
                     _, metrics = eval_step(state.params, batch)
+                    metrics = jax.block_until_ready(metrics)  # see above
                 cb.after_forward_pass(
                     phase=phase,
                     loss=float(metrics["loss"]),
