@@ -590,10 +590,16 @@ def run(
                     rng, step_rng = jax.random.split(rng)
                     state, metrics = train_step(state, batch, step_rng)
                     # block BEFORE any scalar pull: on the axon runtime a
-                    # D2H against a still-in-flight execution fails with
-                    # INVALID_ARGUMENT instead of blocking (reproduced 2/2;
-                    # the LNT_ONESTEP probe differs from this loop only by
-                    # its explicit block and passes 2/2)
+                    # D2H against a still-in-flight execution can fail with
+                    # INVALID_ARGUMENT instead of blocking.  SUSPECTED, not
+                    # proven, root cause of the round-4 crashes: both
+                    # committed r4 runs died here with INVALID_ARGUMENT
+                    # (one before, one after this block was added), so the
+                    # block alone is not sufficient — the failure signature
+                    # also matches a poisoned tunnel session from launching
+                    # too soon after the previous chip process (CLAUDE.md).
+                    # Operational fix: launch via misc/chip_run.sh (probe +
+                    # release gap + retry-on-INVALID_ARGUMENT).
                     metrics = jax.block_until_ready(metrics)
                     # per-sample density heuristics (reference ln_train.py:57-81);
                     # both metrics come back with the loss (no extra device
