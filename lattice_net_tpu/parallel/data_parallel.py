@@ -45,7 +45,23 @@ class TrainState:
 
     @classmethod
     def create(cls, params, tx):
-        return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+        # Canonicalize every optimizer-state leaf to a STRONG-typed array.
+        # optax states can carry weak-typed scalars (e.g.
+        # contrib.reduce_on_plateau's ``avg_value`` inits as ~float32[]);
+        # a jitted train step returns them strong-typed, so the step-1 call
+        # sees one differing aval and RETRACES — a second full compile of
+        # the biggest program in the process (~2.5 min over the axon
+        # tunnel) and the trigger for the round-4 INVALID_ARGUMENT trainer
+        # crashes (two back-to-back large compiles mid-execution-stream;
+        # docs/runs/onestep_r5.log reproduces key 751e... then 76fc...).
+        # astype(dtype) on the same dtype drops weak_type, making the
+        # initial avals a fixed point of the step.
+        def strong(x):
+            a = jnp.asarray(x)
+            return a.astype(a.dtype) if getattr(a, "weak_type", False) else a
+
+        opt_state = jax.tree.map(strong, tx.init(params))
+        return cls(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
 
 _batch_rng = np.random.default_rng(0)

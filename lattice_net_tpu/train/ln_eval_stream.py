@@ -245,6 +245,19 @@ def run(
         f"{max(h2d_ms, compute_ms):.1f} ms -> "
         f"{1000.0 / max(h2d_ms, compute_ms):.2f} scans/s)"
     )
+    # The serial tunnel link is this environment's wire, not the harness:
+    # state what a directly-attached host would see as a COMPUTED line
+    # (VERDICT r4 item 7), using a conservative 8 GB/s effective PCIe gen3
+    # x16 H2D rate (the v5e host attach is at least this).
+    pcie_h2d_ms = nbytes / 8e9 * 1000.0
+    proj_ms = compute_ms + pcie_h2d_ms
+    print(
+        f"PCIe-host projection (computed): H2D {nbytes / 1e6:.2f} MB @ 8 GB/s = "
+        f"{pcie_h2d_ms:.2f} ms; end-to-end ≈ compute {compute_ms:.2f} + H2D "
+        f"{pcie_h2d_ms:.2f} = {proj_ms:.2f} ms -> clears the "
+        f"{period * 1000:.0f} ms sensor deadline by {period * 1000 - proj_ms:.1f} ms "
+        f"(pipeline floor {1000.0 / max(compute_ms, pcie_h2d_ms):.1f} scans/s)"
+    )
     return lat
 
 

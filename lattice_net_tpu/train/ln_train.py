@@ -468,6 +468,17 @@ def run(
         state = load_checkpoint(resume, state)
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed {resume} at step {int(state.step)} (epoch ~{start_epoch})")
+    if sp_mesh is None and mesh is None:
+        # commit the state to the device ONCE, on the main thread, so step 0
+        # and step 1 see byte-identical call signatures.  Without this the
+        # step-0 call takes host-numpy (uncommitted) state while step 1
+        # takes the step's committed device output — jit re-lowers, and on
+        # the axon runtime a SECOND train-step executable in the stream is
+        # the reproducible INVALID_ARGUMENT trigger (the r4 trainer crashes;
+        # exe A once, exe B once, B again -> third dispatch dies,
+        # docs/runs/onestep_r5.log).  One program, one executable, bench-
+        # style: the pattern the chip demonstrably sustains for hours.
+        state = jax.device_put(state)
 
     if sp_mesh is not None:
         if class_weights is not None:
