@@ -219,6 +219,33 @@ def prefetch_batches(generator, make, depth: int = 2):
         yield item
 
 
+def _run_setup_worker(job):
+    """Run the one-off setup in a pure-CPU SUBPROCESS (setup_worker.py).
+
+    The chip-holding process must never initialize the XLA:CPU backend:
+    round 4's in-process CPU-backend setup left the axon session in a state
+    where train-step re-dispatches died with INVALID_ARGUMENT (see
+    setup_worker's docstring for the forensics)."""
+    import pickle
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        inp, outp = os.path.join(td, "in.pkl"), os.path.join(td, "out.pkl")
+        with open(inp, "wb") as f:
+            pickle.dump(job, f)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        res = subprocess.run(
+            [sys.executable, "-m", "lattice_net_tpu.train.setup_worker", inp, outp],
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        )
+        if res.returncode != 0:
+            raise RuntimeError(f"setup_worker failed (rc={res.returncode})")
+        with open(outp, "rb") as f:
+            return pickle.load(f)
+
+
 def run(
     config_path: str,
     max_epochs: int = 100,
@@ -311,19 +338,30 @@ def run(
         # time still surfaces in metrics/sanity warnings.
         from lattice_net_tpu.lattice.structure import capacity_schedule_from_occupancy
 
-        occ_max = np.zeros(mp.nr_downsamples + 1, np.int64)
-        for i in range(min(4, len(loader_train))):
-            cl = loader_train.get_cloud(i)
-            h_s = build_hierarchy(
-                jnp.asarray(cl.V), sigma, mp.nr_downsamples, caps
+        # scout on the host CPU, jitted: eager builds crawl over the axon
+        # tunnel (~0.4 s/op dispatch) and a jitted TPU scout program would
+        # burn a multi-minute compile at the upper-bound capacities just to
+        # read occupancy counters.  On an accelerator platform the scout
+        # runs in a pure-CPU SUBPROCESS (see _run_setup_worker); in-process
+        # only when this process is already CPU-only (tests, CPU hosts).
+        from lattice_net_tpu.train.setup_worker import scout_occupancy
+
+        scout_clouds = [
+            np.asarray(loader_train.get_cloud(i).V, np.float32)
+            for i in range(min(4, len(loader_train)))
+        ]
+        cap_limits = default_capacity_schedule(lp.hash_table_capacity, mp.nr_downsamples)
+        scout_job = {
+            "clouds": scout_clouds, "caps": caps,
+            "headroom": lp.capacity_headroom, "cap_limits": cap_limits,
+        }
+        if jax.default_backend() != "cpu" and os.environ.get("LNT_SETUP_SUBPROC", "1") == "1":
+            res = _run_setup_worker({"mp": mp, "sigma": sigma, "caps": caps, "scout": scout_job})
+            occ_max, caps = res["occ_max"], tuple(res["caps"])
+        else:
+            occ_max, caps = scout_occupancy(
+                mp, sigma, caps, scout_clouds, lp.capacity_headroom, cap_limits
             )
-            occ = np.asarray([int(s.nr_verts) + int(s.nr_overflow) for s in h_s.structures])
-            occ_max = np.maximum(occ_max, occ)
-        del h_s
-        caps = capacity_schedule_from_occupancy(occ_max, lp.capacity_headroom)
-        caps = tuple(min(c, m) for c, m in zip(
-            caps, default_capacity_schedule(lp.hash_table_capacity, mp.nr_downsamples)
-        ))
         print(f"capacity_mode=auto: occupancy {occ_max.tolist()} -> caps {list(caps)} "
               f"(headroom {lp.capacity_headroom})")
 
@@ -439,26 +477,31 @@ def run(
         }
 
     b0 = batch_of([prepare_cloud(loader_train.get_cloud(0), mp)] * batch_size)
-    # One-off setup build+init runs jitted ON THE HOST CPU BACKEND.  Eager
-    # it crawls over the axon tunnel (~30 min of per-op dispatches); jitted
-    # on the TPU (tried in a6a698c) the setup program itself executes, but
-    # the NEXT large program (the first train step) then dies with
-    # INVALID_ARGUMENT: TPU backend error — reproduced 4/4 across
-    # resume/scratch and fresh/warm compile caches, while bench.py's train
-    # step (no setup program) runs clean.  On CPU the setup compiles and
-    # runs in ~1-2 min, the TPU never sees it, and PRNG draws are
-    # backend-deterministic so params are bit-identical.
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        h0 = jax.jit(
-            lambda p, m: build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_mask=m)
-        )(np.asarray(b0["positions"][0]), np.asarray(b0["point_mask"][0]))
-        sanity_check(int(h0.structures[0].nr_verts), int(np.asarray(b0["point_mask"][0]).sum()), caps[0])
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0), h0, np.asarray(b0["positions"][0]),
-            np.asarray(b0["values"][0]),
+    # One-off setup build+init runs jitted on the host CPU.  Eager it crawls
+    # over the axon tunnel (~30 min of per-op dispatches); jitted on the TPU
+    # (tried in a6a698c) the setup program executes but the NEXT large
+    # program dies with INVALID_ARGUMENT (4/4); and jitted on the IN-PROCESS
+    # CPU backend (round 4) the trainer loop later died on train-step
+    # re-dispatch with INVALID_ARGUMENT while round 3's no-CPU-backend
+    # trainer ran 1360 steps clean — so on an accelerator platform the
+    # setup now runs in a pure-CPU SUBPROCESS (setup_worker.py; PRNG draws
+    # are backend-deterministic, params bit-identical either way).
+    from lattice_net_tpu.train.setup_worker import build_and_init
+
+    if jax.default_backend() != "cpu" and os.environ.get("LNT_SETUP_SUBPROC", "1") == "1":
+        res = _run_setup_worker({
+            "mp": mp, "sigma": sigma, "caps": caps,
+            "pos": np.asarray(b0["positions"][0]),
+            "mask": np.asarray(b0["point_mask"][0]),
+            "values": np.asarray(b0["values"][0]),
+        })
+        params, nr_verts0 = res["params"], res["nr_verts"]
+    else:
+        params, nr_verts0 = build_and_init(
+            mp, sigma, caps, np.asarray(b0["positions"][0]),
+            np.asarray(b0["point_mask"][0]), np.asarray(b0["values"][0]),
         )
-    # pull to host numpy so the first TPU program sees plain host inputs
-    params = jax.device_get(params)
+    sanity_check(nr_verts0, int(np.asarray(b0["point_mask"][0]).sum()), caps[0])
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model parameters: {n_params:,}")
 
@@ -554,9 +597,16 @@ def run(
             else:
                 step_rng = jax.random.PRNGKey(2 + i)
             state, metrics = train_step(state, batch, step_rng)
-            jax.block_until_ready(metrics)
-            print(f"ONESTEP[{sorted(use)}] step {i} ok, loss",
-                  float(metrics["loss"]), flush=True)
+            if "nopull" in use:
+                # discriminator: no per-step D2H at all — block on the
+                # STATE only (bench-style) and never read metrics buffers
+                jax.block_until_ready(state)
+                print(f"ONESTEP[{sorted(use)}] step {i} ok (no metrics pull)",
+                      flush=True)
+            else:
+                jax.block_until_ready(metrics)
+                print(f"ONESTEP[{sorted(use)}] step {i} ok, loss",
+                      float(metrics["loss"]), flush=True)
         print("ONESTEP done", flush=True)
         return state
 
