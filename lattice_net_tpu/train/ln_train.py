@@ -234,7 +234,16 @@ def _run_setup_worker(job):
         inp, outp = os.path.join(td, "in.pkl"), os.path.join(td, "out.pkl")
         with open(inp, "wb") as f:
             pickle.dump(job, f)
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # thread the persistent compile cache through (the parent sets it
+        # via jax.config, which subprocesses don't inherit): warm trainer
+        # relaunches then skip the ~1-2 min CPU setup compile entirely
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"
+            ),
+        )
         res = subprocess.run(
             [sys.executable, "-m", "lattice_net_tpu.train.setup_worker", inp, outp],
             env=env,
