@@ -616,6 +616,34 @@ def run(
                 jax.block_until_ready(metrics)
                 print(f"ONESTEP[{sorted(use)}] step {i} ok, loss",
                       float(metrics["loss"]), flush=True)
+        if "ckpt" in use:
+            # mimic CheckpointCallback: full-state D2H readback between the
+            # train phase and the first eval dispatch
+            host_state = jax.device_get(state)
+            print(f"ONESTEP[{sorted(use)}] ckpt device_get ok "
+                  f"({sum(x.size for x in jax.tree.leaves(host_state.params)):,} params)",
+                  flush=True)
+        n_eval = 0
+        for tok in use:
+            if tok.startswith("evalsteps="):
+                n_eval = int(tok.split("=")[1])
+        if n_eval:
+            # mimic the test phase synchronously: eval_step on test-loader
+            # batches with the dummy mask, block, pull — no prefetch thread
+            egen = batched_clouds(
+                loader_test, mp, batch_size, n_points, drop_last=False,
+                sigma=sigma, chunk_oversized=True,
+            )
+            for j, (clouds, real) in enumerate(egen):
+                if j >= n_eval:
+                    break
+                ebatch = batch_of(clouds)
+                dummy = ebatch["target"][:, 0] == -12345
+                ebatch = dict(ebatch, point_mask=ebatch["point_mask"] & ~dummy[:, None])
+                _, emetrics = eval_step(state.params, ebatch)
+                emetrics = jax.block_until_ready(emetrics)
+                print(f"ONESTEP[{sorted(use)}] eval {j} ok, loss",
+                      float(emetrics["loss"]), flush=True)
         print("ONESTEP done", flush=True)
         return state
 
