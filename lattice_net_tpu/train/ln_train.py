@@ -575,7 +575,26 @@ def run(
         class_weights=class_weights, canonical_points=canon,
         full_mask=full_mask,
     )
-    eval_step = jax.jit(lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0), False))
+    # CHAINED eval step: the axon runtime deterministically fails the first
+    # RE-dispatch of an executable whose inputs don't depend on its previous
+    # outputs (probe: train x2 ok, eval 0 ok, eval 1 INVALID_ARGUMENT,
+    # docs/runs/onestep_r5_eval.log) — the same identical-dispatch hazard
+    # CLAUDE.md documents for benchmarking.  The train loop is immune
+    # because `state` chains output->input; eval repeats with identical
+    # params, so thread a tiny device scalar (sum of losses, unused) through
+    # every call.  The carry lives for the whole run — never reset — so
+    # every eval dispatch chains to the previous one.
+    def _eval_step(params, batch, carry):
+        loss, metrics = loss_fn(params, batch, jax.random.PRNGKey(0), False)
+        return loss, metrics, carry + metrics["loss"]
+
+    eval_step_chained = jax.jit(_eval_step)
+    eval_carry = jax.device_put(jnp.zeros((), jnp.float32))
+
+    def eval_step(params, batch):
+        nonlocal eval_carry
+        loss, metrics, eval_carry = eval_step_chained(params, batch, eval_carry)
+        return loss, metrics
 
     if os.environ.get("LNT_ONESTEP"):
         # debug probe: ONE train step inside the real trainer context, with
