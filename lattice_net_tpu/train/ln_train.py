@@ -659,6 +659,10 @@ def run(
                 ebatch = batch_of(clouds)
                 dummy = ebatch["target"][:, 0] == -12345
                 ebatch = dict(ebatch, point_mask=ebatch["point_mask"] & ~dummy[:, None])
+                if "evaldev" in use:
+                    # bench-style: device-resident args (explicit H2D on the
+                    # main thread) instead of numpy implicit transfer
+                    ebatch = jax.device_put(ebatch)
                 _, emetrics = eval_step(state.params, ebatch)
                 emetrics = jax.block_until_ready(emetrics)
                 print(f"ONESTEP[{sorted(use)}] eval {j} ok, loss",
