@@ -242,7 +242,21 @@ def make_train_step(
     # at update time; plain transforms must not receive the kwarg.
     wants_value = isinstance(tx, optax.GradientTransformationExtraArgs)
 
-    def train_step(state: TrainState, batch, rng, axis_name: str | None = None):
+    def train_step(
+        state: TrainState, batch, rng, lr_scale=None, axis_name: str | None = None
+    ):
+        # lr_scale (optional traced scalar): multiplies the OPTIMIZER UPDATES.
+        # Passing 0.0 turns the step into a bit-exact no-op on params
+        # (u * 0.0 == 0.0 for finite updates; p + 0.0 == p in IEEE f32)
+        # while still producing the full metrics for `batch` — which lets
+        # the trainer run its EVAL phase through this same executable.  The
+        # axon runtime cannot re-dispatch a second distinct large executable
+        # in one process (INVALID_ARGUMENT on its second dispatch; bisected
+        # in docs/runs/onestep_r5_eval*.log — chained carries and
+        # device-resident args were tried and do not help), so one process
+        # gets ONE large program and eval rides it with frozen updates.
+        # lr_scale=None (the default) keeps the HLO byte-identical to the
+        # scale-free step for callers that never eval (bench, dp, sharded).
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
@@ -251,6 +265,8 @@ def make_train_step(
             metrics = jax.lax.pmean(metrics, axis_name)
         extra = {"value": metrics["loss"]} if wants_value else {}
         updates, opt_state = tx.update(grads, state.opt_state, state.params, **extra)
+        if lr_scale is not None:
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
 

@@ -565,36 +565,50 @@ def run(
             class_weights=class_weights, canonical_points=canon,
         )
     else:
-        train_step = jax.jit(make_train_step(
+        _step = jax.jit(make_train_step(
             model, tx, sigma, mp.nr_downsamples, caps, ignore_index,
             class_weights=class_weights, canonical_points=canon,
             full_mask=full_mask,
         ))
+        _one, _zero = np.float32(1.0), np.float32(0.0)
+        _ev_rng = jax.random.PRNGKey(0)
+
+        def train_step(state, batch, rng):
+            return _step(state, batch, rng, _one)
+
+        def eval_via_train(ev_state, batch):
+            # ONE-EXECUTABLE eval (axon): the runtime cannot re-dispatch a
+            # SECOND distinct large executable in a process — its second
+            # dispatch dies with INVALID_ARGUMENT no matter how the args are
+            # chained or placed (bisected across docs/runs/onestep_r5_eval*
+            # .log: separate eval_step ✗, loss-carry chaining ✗,
+            # device-resident batches ✗; meanwhile the FIRST executable
+            # re-dispatched 400x/epoch happily).  So eval rides the SAME
+            # train-step executable with lr_scale=0.0: params bit-frozen
+            # (u*0 then p+0 are IEEE-exact), full metrics for the eval
+            # batch, state threaded and then DISCARDED by the caller.
+            # Dropout is the train-mode program's (rate 0.0 in every
+            # shipped config; warned below otherwise).
+            return _step(ev_state, batch, _ev_rng, _zero)
+
+        if getattr(mp, "dropout_last_layer", 0.0):
+            print("WARNING: eval metrics include train-mode dropout "
+                  f"(rate {mp.dropout_last_layer}) — the single-executable "
+                  "eval path cannot switch it off; prefer ln_eval for "
+                  "deterministic numbers")
     loss_fn = make_loss_fn(
         model, sigma, mp.nr_downsamples, caps, ignore_index,
         class_weights=class_weights, canonical_points=canon,
         full_mask=full_mask,
     )
-    # CHAINED eval step: the axon runtime deterministically fails the first
-    # RE-dispatch of an executable whose inputs don't depend on its previous
-    # outputs (probe: train x2 ok, eval 0 ok, eval 1 INVALID_ARGUMENT,
-    # docs/runs/onestep_r5_eval.log) — the same identical-dispatch hazard
-    # CLAUDE.md documents for benchmarking.  The train loop is immune
-    # because `state` chains output->input; eval repeats with identical
-    # params, so thread a tiny device scalar (sum of losses, unused) through
-    # every call.  The carry lives for the whole run — never reset — so
-    # every eval dispatch chains to the previous one.
-    def _eval_step(params, batch, carry):
-        loss, metrics = loss_fn(params, batch, jax.random.PRNGKey(0), False)
-        return loss, metrics, carry + metrics["loss"]
-
-    eval_step_chained = jax.jit(_eval_step)
-    eval_carry = jax.device_put(jnp.zeros((), jnp.float32))
-
-    def eval_step(params, batch):
-        nonlocal eval_carry
-        loss, metrics, eval_carry = eval_step_chained(params, batch, eval_carry)
-        return loss, metrics
+    # Separate jitted eval program — used on the mesh/sharded paths (their
+    # CPU-mesh tests and multi-chip dryrun are unaffected by the axon
+    # single-executable constraint) and by the chunked-eval helper.
+    eval_step = jax.jit(lambda params, batch: loss_fn(params, batch, jax.random.PRNGKey(0), False))
+    if sp_mesh is None and mesh is None:
+        fused_eval = True
+    else:
+        fused_eval = False
 
     if os.environ.get("LNT_ONESTEP"):
         # debug probe: ONE train step inside the real trainer context, with
@@ -653,17 +667,20 @@ def run(
                 loader_test, mp, batch_size, n_points, drop_last=False,
                 sigma=sigma, chunk_oversized=True,
             )
+            ev_state = state
             for j, (clouds, real) in enumerate(egen):
                 if j >= n_eval:
                     break
                 ebatch = batch_of(clouds)
                 dummy = ebatch["target"][:, 0] == -12345
                 ebatch = dict(ebatch, point_mask=ebatch["point_mask"] & ~dummy[:, None])
-                if "evaldev" in use:
-                    # bench-style: device-resident args (explicit H2D on the
-                    # main thread) instead of numpy implicit transfer
-                    ebatch = jax.device_put(ebatch)
-                _, emetrics = eval_step(state.params, ebatch)
+                if "evalsep" in use:
+                    # the failed separate-executable path, kept as the
+                    # negative-control probe (second executable: dies on
+                    # its second dispatch)
+                    _, emetrics = eval_step(state.params, ebatch)
+                else:
+                    ev_state, emetrics = eval_via_train(ev_state, ebatch)
                 emetrics = jax.block_until_ready(emetrics)
                 print(f"ONESTEP[{sorted(use)}] eval {j} ok, loss",
                       float(emetrics["loss"]), flush=True)
@@ -696,6 +713,11 @@ def run(
             cb.epoch_started(phase=phase)
             cb.phase_started(phase=phase)
             warned: set = set()
+            # single-executable eval threads a THROWAWAY state copy through
+            # the lr_scale=0 train step (params bit-frozen; opt-state/step
+            # drift is discarded when the phase ends — `state` is never
+            # reassigned on the eval path)
+            ev_state = state
             gen = batched_clouds(
                 phase.loader, mp, batch_size, n_points, drop_last=False,
                 sigma=sigma, chunk_oversized=not phase.grad,
@@ -737,8 +759,15 @@ def run(
                         caps[0],
                         seen=warned,
                     )
+                elif fused_eval:
+                    # eval rides the train executable with lr_scale=0 (see
+                    # eval_via_train): the only pattern the axon runtime
+                    # re-dispatches reliably
+                    ev_state, metrics = eval_via_train(ev_state, batch)
+                    metrics = jax.block_until_ready(metrics)  # see above
                 else:
-                    # replicated params feed the plain jitted eval directly
+                    # mesh/sharded paths: replicated params feed the plain
+                    # jitted eval directly
                     _, metrics = eval_step(state.params, batch)
                     metrics = jax.block_until_ready(metrics)  # see above
                 cb.after_forward_pass(
