@@ -106,18 +106,29 @@ def setup_predictor(
     model = LNN(mp)
 
     b0 = make_batch([prepare_cloud(first, mp)], mp, n_points)
-    # one-off setup build+init, jitted ON THE HOST CPU backend: eager it
-    # crawls over the axon tunnel; jitted on the TPU the setup program
-    # poisons the next large program (see ln_train.py setup note)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        h0 = jax.jit(
-            lambda p, m: build_hierarchy(p, sigma, mp.nr_downsamples, caps, point_mask=m)
-        )(np.asarray(b0["positions"][0]), np.asarray(b0["point_mask"][0]))
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0), h0, np.asarray(b0["positions"][0]),
-            np.asarray(b0["values"][0]),
+    # one-off setup build+init on the host CPU — in a pure-CPU SUBPROCESS
+    # when this process holds an accelerator: initializing the in-process
+    # XLA:CPU backend leaves the axon session unable to re-dispatch the
+    # predict program (INVALID_ARGUMENT on an early re-dispatch; same
+    # failure class as the round-4 trainer crashes, see
+    # train/setup_worker.py forensics — the round-4 stream runs predate
+    # the runtime getting stricter).
+    from lattice_net_tpu.train.ln_train import _run_setup_worker
+    from lattice_net_tpu.train.setup_worker import build_and_init
+
+    if jax.default_backend() != "cpu" and os.environ.get("LNT_SETUP_SUBPROC", "1") == "1":
+        res = _run_setup_worker({
+            "mp": mp, "sigma": sigma, "caps": caps,
+            "pos": np.asarray(b0["positions"][0]),
+            "mask": np.asarray(b0["point_mask"][0]),
+            "values": np.asarray(b0["values"][0]),
+        })
+        params = res["params"]
+    else:
+        params, _ = build_and_init(
+            mp, sigma, caps, np.asarray(b0["positions"][0]),
+            np.asarray(b0["point_mask"][0]), np.asarray(b0["values"][0]),
         )
-    params = jax.device_get(params)
     if checkpoint:
         from lattice_net_tpu.train.checkpoint import load_params
 
