@@ -135,32 +135,37 @@ def run(
         jax.block_until_ready(dev)  # force the copy NOW, on this thread
         return dev
 
-    # ---- warm up the compile before the clock starts ----------------------
+    # ---- ONE jitted program for the whole process --------------------------
+    # The axon runtime cannot re-dispatch a second distinct large executable
+    # in one process (INVALID_ARGUMENT on its second dispatch; bisected in
+    # docs/runs/onestep_r5_eval*.log for the trainer — this harness hit the
+    # same wall when it warmed a standalone `predict` program and then
+    # looped a separate chained-timing program).  Warm-up, the compute-only
+    # timing loop, and the stream below all dispatch THIS program, chained
+    # through a scalar token (a *0 feedback would constant-fold and unchain
+    # the timing loop — the runtime skips repeated identical dispatches).
+    # The token is numerically a no-op on the scan: 0 or 1e-6 rounds away
+    # in every wire dtype.
+    def _chain_step(b, token):
+        fused = (b["fused"].astype(jnp.float32) + token).astype(b["fused"].dtype)
+        p = predict({**b, "fused": fused})
+        token2 = (jnp.sum(p) % 2).astype(jnp.float32) * 1e-6
+        return p, token2
+
+    chain = jax.jit(_chain_step)
+
     w0 = _encode(first_np, wire)
     b0 = to_device(w0)
-    pred0 = predict(b0)
-    pred0.block_until_ready()
+    token = jnp.zeros((), jnp.float32)
+    p, token = chain(b0, token)  # warm the program
+    jax.block_until_ready((p, token))
 
     # ---- compute-only latency: device-resident inputs, chained dispatch ---
     # (the bench.py-comparable number: what the forward costs on the chip).
-    # The feedback MUST live inside the jitted step: building it with eager
-    # ops dispatches ~5 tiny programs per iteration over the axon tunnel,
-    # whose first-call compiles dominated the loop (~7.4 s/iter observed).
-    def _chain_step(b, fused):
-        p = predict({**b, "fused": fused})
-        # REAL data dependency (a *0 would constant-fold and unchain the
-        # timing loop): parity of the prediction sum, numerically negligible
-        fb = (jnp.sum(p) % 2).astype(jnp.float32) * 1e-6
-        return p, (fused.astype(jnp.float32) + fb).astype(fused.dtype)
-
-    chain = jax.jit(_chain_step)
-    fused = b0["fused"]
-    p, fused = chain(b0, fused)  # warm the chained program
-    jax.block_until_ready((p, fused))
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):
-        p, fused = chain(b0, fused)
+        p, token = chain(b0, token)
     p.block_until_ready()
     compute_ms = (time.perf_counter() - t0) / iters * 1000
 
@@ -220,7 +225,8 @@ def run(
         if item is None:
             break
         t_arr, dev = item
-        inflight.append((t_arr, predict(dev)))
+        p, token = chain(dev, token)  # same single program, token-chained
+        inflight.append((t_arr, p))
         if len(inflight) > 1:  # block one behind: overlap next transfer
             drain_one()
         scans += 1
