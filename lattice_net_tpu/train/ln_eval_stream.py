@@ -136,36 +136,38 @@ def run(
         return dev
 
     # ---- ONE jitted program for the whole process --------------------------
-    # The axon runtime cannot re-dispatch a second distinct large executable
-    # in one process (INVALID_ARGUMENT on its second dispatch; bisected in
-    # docs/runs/onestep_r5_eval*.log for the trainer — this harness hit the
-    # same wall when it warmed a standalone `predict` program and then
-    # looped a separate chained-timing program).  Warm-up, the compute-only
-    # timing loop, and the stream below all dispatch THIS program, chained
-    # through a scalar token (a *0 feedback would constant-fold and unchain
-    # the timing loop — the runtime skips repeated identical dispatches).
-    # The token is numerically a no-op on the scan: 0 or 1e-6 rounds away
-    # in every wire dtype.
-    def _chain_step(b, token):
-        fused = (b["fused"].astype(jnp.float32) + token).astype(b["fused"].dtype)
+    # Two hard-won axon-runtime rules (docs/runs/onestep_r5_eval*.log and
+    # this harness's own round-5 failures):
+    #   1. only ONE distinct large executable per process reliably
+    #      re-dispatches — so warm-up, the compute-only timing loop, and the
+    #      stream below all dispatch THIS program;
+    #   2. a re-dispatch must CHANGE its dominant input buffer — a
+    #      scalar-token chain over identical scan buffers still died, while
+    #      every working pattern in this repo (bench's forward/train loops,
+    #      the trainer's step and fused eval) threads its largest array
+    #      through each call.  The timing loop therefore carries the fused
+    #      scan payload output→input (the parity feedback is numerically
+    #      negligible and cannot constant-fold), and each stream dispatch
+    #      feeds a freshly-transferred scan.
+    def _chain_step(b, fused):
         p = predict({**b, "fused": fused})
-        token2 = (jnp.sum(p) % 2).astype(jnp.float32) * 1e-6
-        return p, token2
+        fb = (jnp.sum(p) % 2).astype(jnp.float32) * 1e-6
+        return p, (fused.astype(jnp.float32) + fb).astype(fused.dtype)
 
     chain = jax.jit(_chain_step)
 
     w0 = _encode(first_np, wire)
     b0 = to_device(w0)
-    token = jnp.zeros((), jnp.float32)
-    p, token = chain(b0, token)  # warm the program
-    jax.block_until_ready((p, token))
+    fused = b0["fused"]
+    p, fused = chain(b0, fused)  # warm the program
+    jax.block_until_ready((p, fused))
 
     # ---- compute-only latency: device-resident inputs, chained dispatch ---
     # (the bench.py-comparable number: what the forward costs on the chip).
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):
-        p, token = chain(b0, token)
+        p, fused = chain(b0, fused)
     p.block_until_ready()
     compute_ms = (time.perf_counter() - t0) / iters * 1000
 
@@ -225,7 +227,9 @@ def run(
         if item is None:
             break
         t_arr, dev = item
-        p, token = chain(dev, token)  # same single program, token-chained
+        # same single program; this scan's freshly-transferred payload IS
+        # the changing dominant buffer (rule 2 above)
+        p, _ = chain(dev, dev["fused"])
         inflight.append((t_arr, p))
         if len(inflight) > 1:  # block one behind: overlap next transfer
             drain_one()
