@@ -164,11 +164,16 @@ def run(
 
     # ---- compute-only latency: device-resident inputs, chained dispatch ---
     # (the bench.py-comparable number: what the forward costs on the chip).
+    # Blocked per iteration: the only dispatch pattern the current axon
+    # runtime sustains from this harness (unblocked pipelining of this
+    # program died with INVALID_ARGUMENT even fully chained; the trainer's
+    # proven loop also blocks every step).  Includes ~1.5 ms of dispatch
+    # latency per iteration as a result — stated rather than hidden.
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):
         p, fused = chain(b0, fused)
-    p.block_until_ready()
+        p.block_until_ready()
     compute_ms = (time.perf_counter() - t0) / iters * 1000
 
     # ---- one-off H2D cost of a scan's inputs (the tunnel/link term) -------
