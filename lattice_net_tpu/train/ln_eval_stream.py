@@ -156,6 +156,14 @@ def run(
 
     chain = jax.jit(_chain_step)
 
+    # session warm-up: one tiny eager compute op before the big program.
+    # Empirical axon rule (round 5): processes that ran some eager device
+    # compute before their large program (bench, the trainer's class-weight
+    # ops) re-dispatch fine; this harness — whose setup moved into a
+    # subprocess — dispatched nothing eager and died on the program's
+    # SECOND dispatch however the arguments were chained/blocked.
+    float(jnp.arange(8.0).sum().block_until_ready())
+
     w0 = _encode(first_np, wire)
     b0 = to_device(w0)
     fused = b0["fused"]
