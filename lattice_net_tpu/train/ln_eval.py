@@ -135,8 +135,7 @@ def setup_predictor(
         params = load_params(checkpoint, params)
         print(f"restored checkpoint {checkpoint}")
 
-    @jax.jit
-    def _predict(params, batch):
+    def _predict_impl(params, batch):
         h = build_hierarchy(
             batch["positions"][0], sigma, mp.nr_downsamples, caps,
             point_mask=batch["point_mask"][0],
@@ -144,6 +143,8 @@ def setup_predictor(
         )
         logp, _ = model.apply(params, h, batch["positions"][0], batch["values"][0])
         return jax.numpy.argmax(logp, axis=-1)
+
+    _predict = jax.jit(_predict_impl)
 
     sharded_predict = None
     if sp > 0:
@@ -190,6 +191,11 @@ def setup_predictor(
         ignore_index=ignore_index, mp=mp, sigma=sigma, caps=caps,
         n_points=n_points, model=model, params=params,
         predict_fn=lambda batch: _predict(params, batch),
+        # un-jitted variant for composition INSIDE another jitted program:
+        # a nested pjit call lowers to a nested computation, and programs
+        # with that structure stopped re-dispatching on the current axon
+        # runtime (stream harness bisect, round 5)
+        predict_impl=lambda batch: _predict_impl(params, batch),
         sharded_predict=sharded_predict,
     )
 

@@ -107,7 +107,9 @@ def _make_decode_predict(predict_fn, d_pos: int, n_points: int, wire: str):
         }
         return predict_fn(batch)
 
-    return jax.jit(fn)
+    # returned UN-jitted: the stream composes this inside its single jitted
+    # chain program (nested pjit calls no longer re-dispatch on axon)
+    return fn
 
 
 def run(
@@ -128,7 +130,10 @@ def run(
 
     first_np = _prep_np(loader.get_cloud(0), mp, n_points)
     d_pos = first_np["positions"].shape[1]
-    predict = _make_decode_predict(s.predict_fn, d_pos, n_points, wire)
+    # compose the UN-jitted predictor: nesting the jitted one would put a
+    # nested pjit call in the program, which no longer re-dispatches on the
+    # axon runtime (see setup_predictor.predict_impl note)
+    predict = _make_decode_predict(s.predict_impl, d_pos, n_points, wire)
 
     def to_device(wire_batch):
         dev = {k: jnp.asarray(v) for k, v in wire_batch.items()}
