@@ -196,6 +196,7 @@ def setup_predictor(
         # with that structure stopped re-dispatching on the current axon
         # runtime (stream harness bisect, round 5)
         predict_impl=lambda batch: _predict_impl(params, batch),
+        predict_impl_p=_predict_impl,  # (params, batch) — params as an arg
         sharded_predict=sharded_predict,
     )
 
