@@ -115,6 +115,65 @@ def gather_rows_clustered(values: jnp.ndarray, idx2: jnp.ndarray) -> jnp.ndarray
     out = gather_rows(values, idx2)
     return jnp.where((idx2 < cap)[..., None], out, 0.0)
 
+
+def gather_rows_clustered_segbwd(values, idx2, edges):
+    """:func:`gather_rows_clustered` with its adjoint computed through the
+    build's edge sort instead of XLA's scatter-add.
+
+    The AD backward of the head's (N, d+1)-row gather is the single largest
+    HLO in the default train step (7.1 ms ``f32[524288,28] -> [65536,28]``
+    scatter fusion, ``docs/runs/xplane_train_r5.log``).  The
+    (point, corner) -> vertex pairs were already sorted by vertex when the
+    lattice was built (:class:`EdgeSort`), so the adjoint instead permutes
+    the cotangent rows with that order (row gathers are latency-bound,
+    width ~free) and segment-sums the contiguous runs (Pallas one-hot MXU
+    kernel) — priced ~4 ms by the v5e cost model.  Forward is bit-identical
+    to ``gather_rows_clustered``'s fallback path.  Rows with invalid
+    vertices carry zero cotangent (the forward masks them), and invalid
+    edges sort past ``nr_verts`` where the segment sum drops them.
+    """
+    # array context passed as primal args (closure-captured tracers break
+    # custom_vjp under vmap); integer args get None cotangents like take_rows
+    return _gather_segbwd(values, idx2, edges.perm, edges.vertex, edges.ends)
+
+
+@jax.custom_vjp
+def _gather_segbwd(values, idx2, perm, vertex, ends):
+    cap = values.shape[0]
+    out = gather_rows(values, idx2)
+    return jnp.where((idx2 < cap)[..., None], out, 0.0)
+
+
+def _gather_segbwd_fwd(values, idx2, perm, vertex, ends):
+    proto = jnp.zeros((0,), values.dtype)
+    return (
+        _gather_segbwd(values, idx2, perm, vertex, ends),
+        (idx2, perm, vertex, ends, values.shape[0], proto),
+    )
+
+
+def _gather_segbwd_bwd(res, g):
+    idx2, perm, vertex, ends, cap, proto = res
+    m = idx2.shape[0] * idx2.shape[1]
+    g_sorted = jnp.take(g.reshape(m, g.shape[-1]).astype(jnp.float32), perm, axis=0)
+    # rows whose vertex is invalid (vid == cap) sorted past every run end and
+    # are dropped by the segment sum; their perm entries read edge 0 by
+    # construction (EdgeSort docstring) but never land in any output row
+    shim = _EdgeView(vertex=vertex, ends=ends)
+    dvals = seg_sum_sorted(g_sorted, shim, cap).astype(proto.dtype)
+    return dvals, None, None, None, None
+
+
+class _EdgeView:
+    """Duck-typed view with the two EdgeSort fields seg_sum_sorted reads."""
+
+    def __init__(self, vertex, ends):
+        self.vertex = vertex
+        self.ends = ends
+
+
+_gather_segbwd.defvjp(_gather_segbwd_fwd, _gather_segbwd_bwd)
+
 __all__ = [
     "splat",
     "distribute",

@@ -232,6 +232,7 @@ class LNN(nn.Module):
         logits = lnm.SliceFastModule(
             final_channels, p.nr_classes, dropout=p.dropout_last_layer,
             experiment=p.experiment,
-        )(lv, masks[0], h.splat_idx, h.splat_weights, deterministic=deterministic)
+        )(lv, masks[0], h.splat_idx, h.splat_weights, deterministic=deterministic,
+          edges=h.edges)
 
         return jax.nn.log_softmax(logits, axis=-1), logits

@@ -561,7 +561,8 @@ class SliceFastModule(nn.Module):
     experiment: str = "none"
 
     @nn.compact
-    def __call__(self, lv, mask, splat_idx, splat_weights, deterministic=True):
+    def __call__(self, lv, mask, splat_idx, splat_weights, deterministic=True,
+                 edges=None):
         n, d1 = splat_idx.shape
 
         cur = self.in_channels
@@ -625,7 +626,13 @@ class SliceFastModule(nn.Module):
         both = jnp.concatenate([lv_b, wide], axis=1)  # (cap, bottleneck + C')
         if not preclassify:
             both = lops._maybe_bf16(both)
-        g_all = lops.gather_rows_clustered(both, splat_idx)
+        if edges is not None and os.environ.get("LNT_HEAD_SEGVJP", "1") == "1":
+            # adjoint via the build's edge sort instead of a scatter-add —
+            # the scatter was the train step's largest HLO (7.1 ms,
+            # docs/runs/xplane_train_r5.log); A/B: LNT_HEAD_SEGVJP=0
+            g_all = lops.gather_rows_clustered_segbwd(both, splat_idx, edges)
+        else:
+            g_all = lops.gather_rows_clustered(both, splat_idx)
         g_b = g_all[..., : self.bottleneck_size].astype(jnp.float32)
         g_v = g_all[..., self.bottleneck_size :]
 
