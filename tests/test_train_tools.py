@@ -326,13 +326,13 @@ def test_stream_wire_formats_roundtrip():
         ("f16", (0.05, 1e-3)),
         ("i16", (61.0 / 32767, 61.0 / 32767)),
     ):
-        fn = es._make_decode_predict(lambda batch: batch, d, n_points, wire)
+        fn = es._make_decode_predict(lambda params, batch: batch, d, n_points, wire)
         wb = es._encode(npb, wire)
         if wire == "f32":
             assert wb["fused"].nbytes == pos.nbytes + val.nbytes
         else:
             assert wb["fused"].nbytes == (pos.nbytes + val.nbytes) // 2
-        got = jax.tree.map(np.asarray, fn({k: jnp.asarray(v) for k, v in wb.items()}))
+        got = jax.tree.map(np.asarray, fn(None, {k: jnp.asarray(v) for k, v in wb.items()}))
         np.testing.assert_allclose(got["positions"][0], pos, atol=max(ptol, 1e-7))
         np.testing.assert_allclose(got["values"][0], val, atol=max(vtol, 1e-7))
         mask = got["point_mask"][0]
