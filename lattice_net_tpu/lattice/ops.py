@@ -131,6 +131,14 @@ def gather_rows_clustered_segbwd(values, idx2, edges):
     to ``gather_rows_clustered``'s fallback path.  Rows with invalid
     vertices carry zero cotangent (the forward masks them), and invalid
     edges sort past ``nr_verts`` where the segment sum drops them.
+
+    MEASURED RESULT (the reason this is opt-in, ``LNT_HEAD_SEGVJP=1``):
+    the chained full-train-step A/B on v5e reads 77.74 ms with this path
+    vs 76.90 ms with the plain scatter adjoint
+    (``docs/runs/bench_r5_segvjp_{on,off}.log``) — XLA overlaps its
+    scatter fusion better than the permute+seg-sum pair, another case of
+    isolated per-op pricing losing to the in-program A/B (CLAUDE.md).
+    Gradients are bit-exact either way (tests/test_gradcheck).
     """
     # array context passed as primal args (closure-captured tracers break
     # custom_vjp under vmap); integer args get None cotangents like take_rows

@@ -626,10 +626,16 @@ class SliceFastModule(nn.Module):
         both = jnp.concatenate([lv_b, wide], axis=1)  # (cap, bottleneck + C')
         if not preclassify:
             both = lops._maybe_bf16(both)
-        if edges is not None and os.environ.get("LNT_HEAD_SEGVJP", "1") == "1":
-            # adjoint via the build's edge sort instead of a scatter-add —
-            # the scatter was the train step's largest HLO (7.1 ms,
-            # docs/runs/xplane_train_r5.log); A/B: LNT_HEAD_SEGVJP=0
+        if edges is not None and os.environ.get("LNT_HEAD_SEGVJP", "0") == "1":
+            # OPT-IN A/B (default OFF — measured SLOWER in the full program):
+            # adjoint via the build's edge sort instead of a scatter-add.
+            # The scatter is the train step's largest HLO in isolation
+            # (7.1 ms, docs/runs/xplane_train_r5.log) and the sorted path
+            # prices ~4 ms, but the chained full-step A/B reads 77.74 vs
+            # 76.90 ms (docs/runs/bench_r5_segvjp_{on,off}.log) — XLA
+            # overlaps the scatter better than the permute+seg-sum pair.
+            # Kept (bit-exact, vmap-safe) because the trade may flip at
+            # other widths/occupancies.
             g_all = lops.gather_rows_clustered_segbwd(both, splat_idx, edges)
         else:
             g_all = lops.gather_rows_clustered(both, splat_idx)
