@@ -390,49 +390,59 @@ def test_train_state_create_strong_types_opt_state():
 
 def test_trainer_single_lowering_across_steps():
     """The jitted train step must trace exactly ONCE over multiple steps
-    (host-numpy batches, device-put state) for both optimizer schedules."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    (host-numpy batches, device-put state) for both optimizer schedules.
 
-    from lattice_net_tpu.lattice.structure import build_hierarchy
-    from lattice_net_tpu.models import LNN, ModelParams
-    from lattice_net_tpu.parallel import TrainState, make_train_step
-    from lattice_net_tpu.train import make_optimizer
+    Runs in a SUBPROCESS: the property is process-level (a second lowering
+    means a second multi-minute compile and the round-4 INVALID_ARGUMENT
+    trigger on the chip), and in-suite global state from unrelated tests
+    can perturb trace-cache behavior (observed flaky in-suite while always
+    passing standalone)."""
+    import subprocess
+    import sys
 
-    mp = ModelParams(
-        nr_classes=4,
-        pointnet_channels_per_layer=(4, 8),
-        pointnet_start_nr_channels=8,
-        nr_downsamples=1,
-        nr_blocks_down_stage=(1,),
-        nr_blocks_bottleneck=1,
-        nr_blocks_up_stage=(1,),
-        nr_levels_down_with_normal_resnet=1,
-        nr_levels_up_with_normal_resnet=1,
-    )
-    n, caps, sigma = 512, (512, 256), 0.5
-    rng_np = np.random.default_rng(0)
-    pos = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
-    vals = jnp.zeros((n, 1), jnp.float32)
-    model = LNN(mp)
-    h0 = build_hierarchy(pos, sigma, mp.nr_downsamples, caps)
-    params = jax.device_get(model.init(jax.random.PRNGKey(0), h0, pos, vals))
-    batch = {
-        "positions": np.asarray(pos)[None],
-        "values": np.asarray(vals)[None],
-        "target": np.asarray(rng_np.integers(0, 4, (1, n), dtype=np.int32)),
-        "point_mask": np.ones((1, n), bool),
-    }
-    tx = make_optimizer(
-        1e-3, 1e-3, "reduce_on_plateau", t0_steps=10, plateau_accumulation=10
-    )
+    script = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from lattice_net_tpu.lattice.structure import build_hierarchy
+from lattice_net_tpu.models import LNN, ModelParams
+from lattice_net_tpu.parallel import TrainState, make_train_step
+from lattice_net_tpu.train import make_optimizer
+
+mp = ModelParams(nr_classes=4, pointnet_channels_per_layer=(4, 8),
+    pointnet_start_nr_channels=8, nr_downsamples=1, nr_blocks_down_stage=(1,),
+    nr_blocks_bottleneck=1, nr_blocks_up_stage=(1,),
+    nr_levels_down_with_normal_resnet=1, nr_levels_up_with_normal_resnet=1)
+n, caps, sigma = 512, (512, 256), 0.5
+rng_np = np.random.default_rng(0)
+pos = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+vals = jnp.zeros((n, 1), jnp.float32)
+model = LNN(mp)
+h0 = build_hierarchy(pos, sigma, mp.nr_downsamples, caps)
+params = jax.device_get(model.init(jax.random.PRNGKey(0), h0, pos, vals))
+batch = {"positions": np.asarray(pos)[None], "values": np.asarray(vals)[None],
+         "target": np.asarray(rng_np.integers(0, 4, (1, n), dtype=np.int32)),
+         "point_mask": np.ones((1, n), bool)}
+for sched in ("reduce_on_plateau", "cosine_warm_restarts"):
+    tx = make_optimizer(1e-3, 1e-3, sched, t0_steps=10, plateau_accumulation=10)
     state = jax.device_put(TrainState.create(params, tx))
-    step = jax.jit(
-        make_train_step(model, tx, sigma, mp.nr_downsamples, caps, -1, full_mask=True)
-    )
+    step = jax.jit(make_train_step(model, tx, sigma, mp.nr_downsamples, caps, -1,
+                                   full_mask=True))
     rng = jax.random.PRNGKey(1)
     for i in range(3):
         rng, r = jax.random.split(rng)
         state, _ = step(state, batch, r)
-    assert step._cache_size() == 1, "train step retraced after step 0"
+    assert step._cache_size() == 1, (sched, step._cache_size())
+print("SINGLE_LOWERING_OK")
+"""
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0 and "SINGLE_LOWERING_OK" in res.stdout, (
+        res.stdout[-2000:], res.stderr[-2000:]
+    )
