@@ -44,6 +44,8 @@ import queue as queue_mod
 import threading
 import time
 
+import os
+
 import numpy as np
 
 # i16 wire quantization: symmetric round-to-nearest with a per-scan scale.
@@ -135,7 +137,15 @@ def run(
     # longer re-dispatches on the axon runtime (see setup_predictor notes)
     predict = _make_decode_predict(s.predict_impl_p, d_pos, n_points, wire)
 
+    # LNT_STREAM_ARGS=numpy: hand the jitted program HOST numpy batches and
+    # let dispatch do the implicit H2D — the trainer's proven argument style
+    # on the axon runtime (its loop feeds fresh numpy every step).  Default
+    # "device" keeps the explicit transfer-thread overlap.
+    arg_mode = os.environ.get("LNT_STREAM_ARGS", "device")
+
     def to_device(wire_batch):
+        if arg_mode == "numpy":
+            return wire_batch
         dev = {k: jnp.asarray(v) for k, v in wire_batch.items()}
         jax.block_until_ready(dev)  # force the copy NOW, on this thread
         return dev
@@ -198,8 +208,9 @@ def run(
     compute_ms = (time.perf_counter() - t0) / iters * 1000
 
     # ---- one-off H2D cost of a scan's inputs (the tunnel/link term) -------
+    # measured with an explicit transfer regardless of arg_mode
     t0 = time.perf_counter()
-    jax.block_until_ready(to_device(w0))
+    jax.block_until_ready({k: jnp.asarray(v) for k, v in w0.items()})
     h2d_ms = (time.perf_counter() - t0) * 1000
     nbytes = sum(np.asarray(v).nbytes for v in w0.values())
 
